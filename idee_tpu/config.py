@@ -1,0 +1,317 @@
+# ------------------------------------------------------------------
+"""Configuration for IDEE-TPU.
+
+A flat dataclass whose field names mirror the reference argparse flags 1:1
+(reference: config.py:18-189) so released reference configs map directly.
+``read_arguments`` provides the same CLI shim (reference: config.py:192-203)
+including the ``config.txt`` / ``config.pkl`` experiment snapshot
+(reference: config.py:206-248).
+
+TPU-specific additions live at the bottom of the dataclass (compute dtype,
+mesh shape) and default to single-chip float32 training.
+"""
+# ------------------------------------------------------------------
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import datetime
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+# ------------------------------------------------------------------
+
+SYNTHETIC_VARIABLES = ["var_01", "var_02", "var_03", "var_04", "var_05", "var_06"]
+CERRA_VARIABLES = ["wdir10", "si10", "al", "hcc", "lcc", "msl"]
+ERA5_LAND_VARIABLES = ["d2m", "t2m", "fal", "sp", "e", "tp", "skt", "stl1", "swvl1"]
+
+# CORDEX region grid extents (y, x) (reference: dataset/ERA5_Land_dataset.py:154-160)
+CORDEX_REGIONS = {
+    "EUR-11": (412, 424),
+    "AFR-11": (804, 776),
+    "NAM-11": (520, 620),
+    "SAM-11": (668, 584),
+    "CAS-11": (400, 612),
+    "EAS-11": (668, 812),
+}
+
+
+@dataclass
+class Config:
+    """Flat experiment configuration (field names == reference flags)."""
+
+    # --- general options (reference: config.py:21-46) ---
+    seed: int = 0
+    n_workers: int = 8
+    pin_memory: bool = True
+    batch_size: int = 1
+    name: str = "test"
+    dir_log: str = "./log"
+
+    root_CERRA: str = "../CERRA"
+    root_NOAA_CERRA: str = "../NOAA_CERRA"
+    root_ERA5_Land: str = "../ERA5-Land"
+    root_NOAA: str = "../NOAA_CORDEX"
+    root_synthetic: str = "../Synthetic/synthetic_CERRA"
+
+    encoder: str = "Mamba"
+    classifier: str = "CNN_3D"
+    codebook: str = "LFQ"
+
+    gpu_id: str = "0"  # kept for config-file compatibility; unused on TPU
+    nan_fill: float = 0.0
+
+    # --- encoder (reference: config.py:49-62) ---
+    in_channels_dynamic: int = 6
+    in_channels: int = 2  # 2 for ERA5/CERRA (mean,std), 1 for synthetic
+    en_embed_dim: List[int] = field(default_factory=lambda: [16, 16])
+    en_depths: List[int] = field(default_factory=lambda: [2, 1])
+    en_patch_size: Tuple[int, int, int] = (1, 1, 1)
+    en_window_size: List[Tuple[int, int, int]] = field(
+        default_factory=lambda: [(2, 4, 4), (8, 1, 1)]
+    )
+    en_mlp_ratio: float = 4.0
+    en_drop_rate: float = 0.0
+    en_drop_path_rate: float = 0.0
+    en_patch_norm: bool = False
+    en_use_checkpoint: bool = False
+
+    # encoder Swin (reference: config.py:65-70)
+    en_n_heads: List[int] = field(default_factory=lambda: [2, 2])
+    en_attn_drop_rate: float = 0.0
+    en_qkv_bias: bool = True
+    en_qk_scale: Optional[float] = None
+
+    # encoder Mamba (reference: config.py:73-77)
+    d_state: List[int] = field(default_factory=lambda: [1, 1])
+    d_conv: List[int] = field(default_factory=lambda: [3, 3])
+    expand: List[int] = field(default_factory=lambda: [1, 1])
+    dt_min: float = 0.01
+    dt_max: float = 0.1
+
+    # --- vector quantization (reference: config.py:80-81) ---
+    codebook_size: int = 2
+    codebook_dim: int = 16
+
+    # --- classifier (reference: config.py:84-85) ---
+    cls_dim: int = 16
+    cls_drop_rate: float = 0.0
+
+    en_de_pretrained: Optional[str] = None
+
+    # --- splits (reference: config.py:90-96) ---
+    years_train: List[str] = field(
+        default_factory=lambda: [str(y) for y in range(1984, 2018)]
+    )
+    years_val: List[str] = field(default_factory=lambda: ["2018", "2019", "2020"])
+    years_test: List[str] = field(
+        default_factory=lambda: ["2021", "2022", "2023", "2024"]
+    )
+    times_train: Tuple[int, int] = (1, 52 * 34)
+    times_val: Tuple[int, int] = (52 * 34 + 1, 52 * 40)
+    times_test: Tuple[int, int] = (52 * 40 + 1, 52 * 46)
+
+    delta_t: int = 8
+    window_size: int = 1  # resolution-reduction factor for the data
+
+    threshold: float = 26.0  # VHI threshold
+    alpha: float = 0.5  # alpha to compute VHI
+
+    region: str = "EUR-11"
+    x_min: int = 0
+    x_max: int = 200
+    y_min: int = 0
+    y_max: int = 200
+
+    # --- training (reference: config.py:110-132) ---
+    is_shuffle: bool = False
+    is_aug: bool = True
+    is_norm: bool = True
+    is_clima_scale: bool = True
+    n_epochs: int = 100
+    optimizer: str = "Adam"
+    lr: float = 1e-3
+    weight_decay: float = 0.003
+    beta1: float = 0.9
+    beta2: float = 0.999
+
+    lr_scheduler: str = "cosine"
+    lr_warmup: float = 1e-6
+    lr_warmup_epochs: int = 2
+    lr_min: float = 1e-5
+    lr_decay_step: int = 20
+    lr_decay_rate: float = 0.9
+
+    lambda_ortho: float = 10.0
+    lambda_commitment: float = 3.0
+    lambda_anomaly: float = 100.0
+    lambda_entropy: float = 0.1
+    diversity_gamma: float = 0.1
+
+    # input variables (reference: config.py:135-188)
+    variables: List[str] = field(default_factory=lambda: list(CERRA_VARIABLES))
+    variables_static: List[str] = field(
+        default_factory=lambda: ["latitude", "longitude"]
+    )
+
+    phase: str = "train"
+
+    # --- TPU-native additions (not in the reference) ---
+    dtype: str = "float32"  # compute dtype for the backbone ("bfloat16" on TPU)
+    mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
+    mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    log_every: int = 50
+    ckpt_keep: int = 3
+    profile_dir: Optional[str] = None  # enable jax.profiler traces when set
+    debug_nans: bool = False
+
+    # ------------------------------------------------------------------
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.dir_log, self.name)
+
+
+# ------------------------------------------------------------------
+# CLI shim
+
+
+def _parse_value(text: str, default: Any) -> Any:
+    """Parse a CLI string into the type of ``default`` (lists/tuples via
+    python literals, bools via truthy strings)."""
+    if isinstance(default, bool):
+        return text.lower() in ("1", "true", "yes", "y")
+    if isinstance(default, (list, tuple)) or default is None:
+        try:
+            val = ast.literal_eval(text)
+            if isinstance(default, tuple) and isinstance(val, list):
+                val = tuple(val)
+            return val
+        except (ValueError, SyntaxError):
+            if isinstance(default, (list, tuple)):
+                return type(default)(s for s in text.split(",") if s)
+            return text
+    return type(default)(text)
+
+
+def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    defaults = defaults or Config()
+    parser = argparse.ArgumentParser(description="IDEE-TPU")
+    for f in dataclasses.fields(Config):
+        dv = getattr(defaults, f.name)
+        parser.add_argument(f"--{f.name}", type=str, default=None, help=str(f.type))
+    parser.add_argument("--config_json", type=str, default=None,
+                        help="path to a JSON file with config overrides")
+    return parser
+
+
+def read_arguments(
+    train: bool = True,
+    print_: bool = True,
+    save: bool = True,
+    argv: Optional[Sequence[str]] = None,
+    defaults: Optional[Config] = None,
+) -> Config:
+    """Parse CLI args into a Config (reference: config.py:192-203)."""
+    defaults = defaults or Config()
+    parser = build_parser(defaults)
+    ns = parser.parse_args(argv)
+
+    cfg_dict = defaults.to_dict()
+    if ns.config_json:
+        with open(ns.config_json) as fh:
+            cfg_dict.update(json.load(fh))
+    for f in dataclasses.fields(Config):
+        raw = getattr(ns, f.name)
+        if raw is not None:
+            cfg_dict[f.name] = _parse_value(raw, getattr(defaults, f.name))
+
+    cfg = Config.from_dict(cfg_dict)
+    cfg = cfg.replace(phase="train" if train else "test")
+
+    if print_:
+        print(format_options(cfg))
+    if save:
+        save_options(cfg)
+    return cfg
+
+
+def format_options(cfg: Config) -> str:
+    """Render the config snapshot (reference: config.py:251-282)."""
+    skip = {"variables", "years_train", "years_val", "years_test", "dir_log",
+            "root_CERRA", "root_NOAA"}
+    msg = "----------------- Options ---------------       -------------------\n\n"
+    d = cfg.to_dict()
+    for k in sorted(d):
+        if k in skip:
+            continue
+        msg += "{:>25}: {:<20}\n".format(str(k), str(d[k]))
+    msg += "\n{:>25}: {:<20}\n".format("root_CERRA", str(cfg.root_CERRA))
+    msg += "\n{:>25}: {:<20}\n".format("root_NOAA", str(cfg.root_NOAA))
+    msg += "{:>25}: {:<20}\n".format("dir_log", str(cfg.dir_log))
+    msg += "\n----------------- Input Variables -------      -------------------"
+    msg += "\n\n{}\n".format(str(cfg.variables))
+    msg += "\n----------------- Years -----------------      -------------------"
+    if cfg.phase == "train":
+        msg += "\n\nTraining: {}".format(str(cfg.years_train))
+        msg += "\nValidation: {}\n".format(str(cfg.years_val))
+    else:
+        msg += "\n\nTesting: {}\n".format(str(cfg.years_test))
+    msg += "\n----------------- End -------------------      -------------------"
+    return msg
+
+
+def save_options(cfg: Config) -> None:
+    """Persist config.txt + config.pkl + config.json under log/<name>/
+    (reference: config.py:206-248; JSON added for pickle-free reload)."""
+    if not cfg.name:
+        cfg = cfg.replace(
+            name=str(datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+        )
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    with open(os.path.join(cfg.log_dir, "config.txt"), "wt") as fh:
+        fh.write(format_options(cfg))
+    with open(os.path.join(cfg.log_dir, "config.pkl"), "wb") as fh:
+        pickle.dump(cfg, fh)
+    with open(os.path.join(cfg.log_dir, "config.json"), "wt") as fh:
+        json.dump(cfg.to_dict(), fh, indent=2, default=str)
+
+
+def load_config(path: str) -> Config:
+    """Load a Config from a .pkl / .json snapshot saved by save_options."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            return Config.from_dict(json.load(fh))
+    with open(path, "rb") as fh:
+        obj = pickle.load(fh)
+    if isinstance(obj, Config):
+        return obj
+    # tolerate reference argparse.Namespace pickles
+    return Config.from_dict(vars(obj))
+
+
+def synthetic_config(**overrides) -> Config:
+    """Config preset for the synthetic benchmark (1-channel var_01..06)."""
+    base = dict(
+        variables=list(SYNTHETIC_VARIABLES),
+        in_channels=1,
+        encoder="CNN_3D",
+    )
+    base.update(overrides)
+    return Config(**base)

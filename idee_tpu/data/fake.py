@@ -1,0 +1,127 @@
+# ------------------------------------------------------------------
+"""Fake synthetic-datacube generator for tests and benchmarks.
+
+Produces a cube with the statistic/climatology schema of the real synthetic
+dataset (reference: dataset/Synthetic_dataset.py:168-283): per-variable
+seasonal background + planted anomaly blobs that precede extreme events,
+so driver-identification is learnable on tiny grids.
+"""
+# ------------------------------------------------------------------
+
+from typing import List, Optional
+
+import numpy as np
+
+from idee_tpu.data.synthetic import SyntheticCube
+
+
+def make_fake_cube(
+    n_vars: int = 6,
+    n_time: int = 104,
+    height: int = 32,
+    width: int = 32,
+    n_static: int = 2,
+    seed: int = 0,
+    anomaly_rate: float = 0.05,
+    variables: Optional[List[str]] = None,
+) -> SyntheticCube:
+    rng = np.random.default_rng(seed)
+    variables = variables or [f"var_{i + 1:02d}" for i in range(n_vars)]
+
+    week = (np.arange(n_time) % 52).astype(np.float32)
+    season = np.sin(2 * np.pi * week / 52.0)[None, :, None, None]
+    base = rng.normal(0.0, 1.0, (n_vars, 1, height, width)).astype(np.float32)
+    noise = rng.normal(0.0, 0.3, (n_vars, n_time, height, width)).astype(np.float32)
+    dynamic = base + season + noise
+
+    # plant anomaly blobs; an extreme fires where >= half the variables are
+    # anomalous at a pixel
+    anomaly = np.zeros((n_vars, n_time, height, width), np.uint8)
+    n_blobs = max(1, int(anomaly_rate * n_time))
+    for v in range(n_vars):
+        for _ in range(n_blobs * 4):
+            t0 = int(rng.integers(0, n_time - 4))
+            yy = int(rng.integers(0, height - 8))
+            xx = int(rng.integers(0, width - 8))
+            dt = int(rng.integers(2, 5))
+            hh = int(rng.integers(4, 9))
+            ww = int(rng.integers(4, 9))
+            anomaly[v, t0:t0 + dt, yy:yy + hh, xx:xx + ww] = 1
+    dynamic = (dynamic + 3.0 * anomaly).astype(np.float32)  # anomalies shift the signal
+
+    extreme = (anomaly.sum(0) >= max(2, n_vars // 2)).astype(np.uint8)
+
+    static = rng.normal(0.0, 1.0, (n_static, height, width)).astype(np.float32)
+    svars = ["latitude", "longitude"][:n_static] + [
+        f"static_{i}" for i in range(max(0, n_static - 2))
+    ]
+
+    stats = {
+        v: {
+            "min": float(dynamic[i].min()),
+            "max": float(dynamic[i].max()),
+            "mean": float(dynamic[i].mean()),
+            "median": float(np.median(dynamic[i])),
+            "std": float(dynamic[i].std()),
+        }
+        for i, v in enumerate(variables)
+    }
+
+    # weekly pixel-wise climatology (grouped by week-of-year; robust to
+    # n_time < 52)
+    wk = (np.arange(n_time) % 52)
+    clima_median = np.zeros((n_vars, 52, height, width), np.float32)
+    clima_std = np.ones((n_vars, 52, height, width), np.float32)
+    for w in range(52):
+        sel = dynamic[:, wk == w]
+        if sel.shape[1] == 0:
+            sel = dynamic  # fallback: global stats for unseen weeks
+        clima_median[:, w] = np.median(sel, axis=1)
+        clima_std[:, w] = sel.std(axis=1) + 1e-2
+
+    return SyntheticCube(
+        dynamic=dynamic, anomaly=anomaly, extreme=extreme,
+        variables=variables, static=static, variables_static=svars,
+        stats=stats, clima_median=clima_median, clima_std=clima_std,
+    )
+
+
+def write_fake_netcdf(root: str, cube: SyntheticCube) -> None:
+    """Write the cube in the reference directory schema via h5py so the
+    NetCDF loader path can be tested without xarray."""
+    import json
+    import os
+
+    import h5py
+
+    os.makedirs(root, exist_ok=True)
+    exp = os.path.basename(os.path.normpath(root))
+    T = cube.dynamic.shape[1]
+
+    with h5py.File(os.path.join(root, f"datacube_{exp}.nc"), "w") as f:
+        f.create_dataset("time", data=np.arange(1, T + 1, dtype=np.float64))
+        f.create_dataset(
+            "var", data=np.array([v.encode() for v in cube.variables]))
+        for i, v in enumerate(cube.variables):
+            f.create_dataset(v, data=cube.dynamic[i])  # [T, H, W]? no: [T,H,W]
+        f["anomaly_extreme"] = cube.anomaly.swapaxes(0, 1)  # [T, V, H, W]
+        f["extreme"] = cube.extreme
+        if cube.static is not None:
+            for i, v in enumerate(cube.variables_static):
+                f[v] = cube.static[i]
+
+    with open(os.path.join(root, f"statistic_{exp}.json"), "w") as fh:
+        json.dump(
+            {
+                k: {v: cube.stats[v][k] for v in cube.variables}
+                for k in ("min", "max", "mean", "median", "std")
+            },
+            fh,
+        )
+
+    with h5py.File(os.path.join(root, f"climatology_{exp}.nc"), "w") as f:
+        f.create_dataset(
+            "climatology",
+            data=np.array([b"median", b"std"]))
+        for i, v in enumerate(cube.variables):
+            f[v] = np.stack([cube.clima_median[i], cube.clima_std[i]])

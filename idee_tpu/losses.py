@@ -1,0 +1,124 @@
+# ------------------------------------------------------------------
+"""Loss functions (pure jnp).
+
+Parity target: reference models/losses.py. All reductions and the
+inverse-frequency weighting formula match the reference exactly:
+  w = log((hist / sum(hist)) ** -0.5 + 1.1) indexed by the target class
+(reference: models/losses.py:82-87,115-120).
+
+The anomaly L1 loss constrains the quantized features z_q to the 'normal'
+code vq_0 *outside* extreme regions; inside extremes the reference replaces
+the target by detached predictions AND zeroes the weight, so the loss value
+reduces to a weighted L1 with weight = 1 - mask
+(reference: models/losses.py:158-166).
+"""
+# ------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits, targets):
+    """Elementwise binary cross entropy on logits (torch BCEWithLogitsLoss)."""
+    return (jnp.maximum(logits, 0.0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _inv_freq_weights(hist):
+    """log((hist/total)^-0.5 + 1.1) (reference: models/losses.py:85-86).
+    Zero-count classes get weight 0 -- the reference leaves them +inf, but
+    those entries are never gathered (no pixel has that label), so zeroing
+    is value-equivalent and NaN-safe under jit."""
+    total = jnp.sum(hist)
+    frac = hist / jnp.maximum(total, 1.0)
+    w = jnp.log(jnp.where(frac > 0, frac, 1.0) ** -0.5 + 1.1)
+    return jnp.where(frac > 0, w, 0.0)
+
+
+def bce_loss_synthetic(pred, target):
+    """Frequency-weighted BCE, mean-reduced (reference: models/losses.py:98-124).
+
+    pred: logits [N, C, H, W]; target: {0,1} [N, C, H, W].
+    """
+    target = target.astype(jnp.float32)
+    hist = jnp.array([jnp.sum(target == 0), jnp.sum(target == 1)],
+                     dtype=jnp.float32)
+    w = jax.lax.stop_gradient(_inv_freq_weights(hist))
+    weights = w[target.astype(jnp.int32)]
+    return jnp.mean(bce_with_logits(pred, target) * weights)
+
+
+def bce_loss(pred, target, mask_valid):
+    """Masked frequency-weighted BCE for real-world data
+    (reference: models/losses.py:64-95).
+
+    pred/target/mask_valid: [N, H, W] (or broadcastable); weights are zero on
+    invalid pixels and the sum is normalized by sum(mask_valid).
+    """
+    target = target.astype(jnp.float32)
+    mask = mask_valid.astype(jnp.float32)
+    hist = jnp.array([jnp.sum((target == 0) * mask),
+                      jnp.sum((target == 1) * mask)], dtype=jnp.float32)
+    w = jax.lax.stop_gradient(_inv_freq_weights(hist))
+    weights = w[target.astype(jnp.int32)] * mask
+    return jnp.sum(bce_with_logits(pred, target) * weights) / jnp.sum(mask)
+
+
+def anomaly_l1_loss_synthetic(z_q, mask_extreme_loss, vq0):
+    """Driver-supervision L1 (reference: models/losses.py:127-168).
+
+    z_q: [N, V, C, T, H, W] quantized features (fp32)
+    mask_extreme_loss: [N, H, W] union of extremes over all delta_t steps
+    vq0: [C] the 'normal' code vector (stop-gradient)
+    loss = sum(|z_q - vq0| * (1-mask)) / sum(1-mask) broadcast over V,C,T.
+    """
+    z_q = z_q.astype(jnp.float32)
+    N, V, C, T, H, W = z_q.shape
+    mask = mask_extreme_loss.astype(jnp.float32)[:, None, None, None, :, :]
+    weights = 1.0 - jnp.clip(mask, 0.0, 1.0)
+    target = jax.lax.stop_gradient(vq0)[None, None, :, None, None, None]
+    l1 = jnp.abs(z_q - target) * weights
+    return jnp.sum(l1) / jnp.sum(jnp.broadcast_to(weights, z_q.shape))
+
+
+def anomaly_l1_loss(z_q, mask_extreme_loss, mask_exclude, vq0):
+    """Real-world variant: excluded pixels (cold surface / invalid) are also
+    unconstrained (reference: models/losses.py:15-61).
+
+    mask_exclude: [N, H, W] pixels to leave unconstrained in addition to
+    extremes (the reference parameter is confusingly named mask_valid but is
+    *added* to the extreme mask, models/losses.py:50).
+    """
+    z_q = z_q.astype(jnp.float32)
+    mask = (mask_extreme_loss.astype(jnp.float32)
+            + mask_exclude.astype(jnp.float32))
+    mask = jnp.clip(mask, 0.0, 1.0)[:, None, None, None, :, :]
+    weights = 1.0 - mask
+    target = jax.lax.stop_gradient(vq0)[None, None, :, None, None, None]
+    l1 = jnp.abs(z_q - target) * weights
+    return jnp.sum(l1) / jnp.sum(jnp.broadcast_to(weights, z_q.shape))
+
+
+def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly):
+    """Training objective (reference: train_synthetic.py:182-201):
+    BCE(joint) + lambda_anomaly * anomaly_L1 + sum_v BCE(head_v) + loss_z_q.
+
+    out: VQOutput; mask_extreme [N,H,W]; mask_extreme_loss [N,H,W].
+    Returns (loss, dict of components).
+    """
+    target = mask_extreme.astype(jnp.float32)[:, None]  # [N,1,H,W]
+    loss_bce = bce_loss_synthetic(out.z, target)
+    loss_anom = anomaly_l1_loss_synthetic(out.z_q, mask_extreme_loss, out.vq0)
+    # per-variable heads: out.y is [N, V, 1, H, W]
+    V = out.y.shape[1]
+    loss_var = jnp.sum(
+        jax.vmap(lambda yv: bce_loss_synthetic(yv, target), in_axes=1)(out.y)
+    )
+    loss = loss_bce + lambda_anomaly * loss_anom + loss_var + out.loss_z_q
+    return loss, {
+        "loss": loss,
+        "loss_bce": loss_bce,
+        "loss_anomaly": loss_anom,
+        "loss_var": loss_var,
+        "loss_z_q": out.loss_z_q,
+    }

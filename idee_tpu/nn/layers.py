@@ -1,0 +1,138 @@
+# ------------------------------------------------------------------
+"""Shared layers: 3D convolution with replicate padding, non-affine
+LayerNorm, MLP, DropPath, and the reference weight-init schemes.
+
+Layout convention: all 3D modules here are **channels-last** ``[N, D, H, W, C]``
+(TPU/XLA-friendly), unlike the reference's NCDHW. The composite model
+transposes once at its boundary.
+
+Weight init parity: the reference composite model overrides every Conv/Linear
+weight with Normal(mean=0.02, std=0.02) and biases with 0 after construction
+(reference: models/build.py:96-118), so ``reference_init`` is the default for
+the VQ_model path. Standalone backbones use trunc_normal(std=.02)
+(reference: models/encoder/CNN_3D.py:196-213).
+"""
+# ------------------------------------------------------------------
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def reference_init(mean: float = 0.02, std: float = 0.02) -> Callable:
+    """Normal(mean, std) initializer (reference: models/build.py:110)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return mean + std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def trunc_normal_init(std: float = 0.02) -> Callable:
+    """Truncated normal at +/-2 std (timm trunc_normal_ semantics)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+class Conv3d(nn.Module):
+    """3D convolution on [N, D, H, W, C] with optional replicate padding.
+
+    ``padding`` is a per-spatial-dim (lo, hi) tuple; ``padding_mode``
+    'replicate' matches torch Conv3d(padding_mode='replicate')
+    (reference: models/encoder/CNN_3D.py:99-101) via an edge-pad + VALID conv.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Sequence[Tuple[int, int]] = ((1, 1), (1, 1), (1, 1))
+    padding_mode: str = "zeros"  # "zeros" | "replicate"
+    use_bias: bool = True
+    kernel_init: Callable = reference_init()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = [tuple(p) for p in self.padding]
+        if self.padding_mode == "replicate" and any(p != (0, 0) for p in pad):
+            x = jnp.pad(
+                x, [(0, 0)] + pad + [(0, 0)], mode="edge"
+            )
+            conv_pad = "VALID"
+        else:
+            conv_pad = pad
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=conv_pad,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+        )(x)
+
+
+class LayerNorm3d(nn.Module):
+    """LayerNorm over the channel (last) axis of [..., C].
+
+    ``affine=False`` matches torch nn.LayerNorm(C, elementwise_affine=False)
+    used throughout the reference backbones (e.g. models/encoder/Swin_3D.py:214).
+    """
+
+    affine: bool = True
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(
+            epsilon=self.eps,
+            use_bias=self.affine,
+            use_scale=self.affine,
+            dtype=self.dtype,
+        )(x)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference: models/encoder/Swin_3D.py:24-42)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    kernel_init: Callable = reference_init()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Dense(self.hidden_features, kernel_init=self.kernel_init,
+                     dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.out_features, kernel_init=self.kernel_init,
+                     dtype=self.dtype)(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,420 @@
+# ------------------------------------------------------------------
+"""Video Swin-3D encoder: 3D shifted-window attention towers per variable.
+
+Parity target: reference models/encoder/Swin_3D.py (a Video Swin Transformer
+variant). Same contract as the other backbones: [N,V,C,T,H,W] ->
+[N,V,E,T,H,W] with per-variable unshared towers + 2-conv projection heads.
+
+TPU-first design decisions:
+* per-variable towers -> one ``nn.vmap`` over stacked params (the reference
+  runs 6 sequential Python passes, Swin_3D.py:625-635);
+* window partition / cyclic shift are static reshape/transpose + jnp.roll
+  inside the jitted program;
+* the shifted-window attention mask and the relative-position-bias gather
+  indices are *trace-time numpy constants* (the reference rebuilds the mask
+  on every forward on device, Swin_3D.py:438);
+* channels-last layout [N, T, H, W, C] so LayerNorm/attention run on the
+  lane dimension and convs hit the MXU;
+* attention over windows is batched [B*nW, tokens, C] -- XLA maps the tiny
+  per-window matmuls onto batched MXU ops; a fused Pallas kernel is in
+  kernels/window_attention.py.
+"""
+# ------------------------------------------------------------------
+
+import math
+from functools import reduce as _reduce
+from operator import mul
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idee_tpu.nn.cnn3d import ProjHead
+from idee_tpu.nn.layers import (Conv3d, DropPath, LayerNorm3d, Mlp,
+                                reference_init, trunc_normal_init)
+
+
+def get_window_size(x_size, window_size, shift_size=None):
+    """Shrink window dims to the input size; zero the shift there
+    (reference: Swin_3D.py:77-90). Pure-python (trace-time)."""
+    use_ws = list(window_size)
+    use_ss = list(shift_size) if shift_size is not None else None
+    for i in range(len(x_size)):
+        if x_size[i] <= window_size[i]:
+            use_ws[i] = x_size[i]
+            if use_ss is not None:
+                use_ss[i] = 0
+    if shift_size is None:
+        return tuple(use_ws)
+    return tuple(use_ws), tuple(use_ss)
+
+
+def window_partition(x, ws):
+    """[B, D, H, W, C] -> [B*nW, wd*wh*ww, C] (reference: Swin_3D.py:45-57)."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2], C)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(-1, _reduce(mul, ws), C)
+
+
+def window_reverse(windows, ws, B, D, H, W):
+    """Inverse of window_partition (reference: Swin_3D.py:60-74)."""
+    x = windows.reshape(B, D // ws[0], H // ws[1], W // ws[2],
+                        ws[0], ws[1], ws[2], -1)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6, 7))
+    return x.reshape(B, D, H, W, -1)
+
+
+def relative_position_index(ws: Tuple[int, int, int]) -> np.ndarray:
+    """Pairwise relative-position gather indices for a 3D window
+    (reference: Swin_3D.py:120-135). Trace-time numpy constant."""
+    coords = np.stack(np.meshgrid(
+        np.arange(ws[0]), np.arange(ws[1]), np.arange(ws[2]),
+        indexing="ij"))  # [3, wd, wh, ww]
+    flat = coords.reshape(3, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [3, n, n]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws[0] - 1
+    rel[:, :, 1] += ws[1] - 1
+    rel[:, :, 2] += ws[2] - 1
+    rel[:, :, 0] *= (2 * ws[1] - 1) * (2 * ws[2] - 1)
+    rel[:, :, 1] *= (2 * ws[2] - 1)
+    return rel.sum(-1)  # [n, n]
+
+
+def compute_shift_mask(Dp: int, Hp: int, Wp: int, ws, ss) -> Optional[np.ndarray]:
+    """[nW, n, n] additive attention mask (0 / -100) for shifted windows
+    (reference: Swin_3D.py:340-352). Trace-time numpy constant."""
+    if not any(s > 0 for s in ss):
+        return None
+    img = np.zeros((1, Dp, Hp, Wp, 1), np.float32)
+    cnt = 0
+    for d in (slice(-ws[0]), slice(-ws[0], -ss[0]),
+              slice(-ss[0], None)) if ss[0] else (slice(None),):
+        for h in (slice(-ws[1]), slice(-ws[1], -ss[1]),
+                  slice(-ss[1], None)) if ss[1] else (slice(None),):
+            for w in (slice(-ws[2]), slice(-ws[2], -ss[2]),
+                      slice(-ss[2], None)) if ss[2] else (slice(None),):
+                img[:, d, h, w, :] = cnt
+                cnt += 1
+    # partition with numpy (same math as window_partition)
+    B, D, H, W, C = img.shape
+    x = img.reshape(B, D // ws[0], ws[0], H // ws[1], ws[1], W // ws[2],
+                    ws[2], C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, _reduce(mul, ws))
+    mask = x[:, None, :] - x[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention3D(nn.Module):
+    """W-MSA with 3D relative position bias (reference: Swin_3D.py:93-178)."""
+
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        """x: [B_, n, C]; mask: [nW, n, n] or None."""
+        B_, n, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        scale = self.qk_scale or hd ** -0.5
+
+        table_size = ((2 * self.window_size[0] - 1)
+                      * (2 * self.window_size[1] - 1)
+                      * (2 * self.window_size[2] - 1))
+        # the composite init leaves this table trunc_normal(.02): it is a
+        # bare nn.Parameter, untouched by build.py's Conv/Linear sweep
+        table = self.param("relative_position_bias_table",
+                           trunc_normal_init(0.02), (table_size, h))
+        rpi = relative_position_index(self.window_size)[:n, :n].reshape(-1)
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
+                       kernel_init=self.kernel_init, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B_, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B_, n, h, hd]
+
+        q = q * scale
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+
+        bias = table[rpi].reshape(n, n, h)
+        bias = jnp.transpose(bias, (2, 0, 1))[None]  # [1, h, n, n]
+        attn = attn + bias.astype(attn.dtype)
+
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, h, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(B_, h, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, n, C)
+        out = nn.Dense(C, kernel_init=self.kernel_init, dtype=self.dtype,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class SwinBlock3D(nn.Module):
+    """One Swin block: shifted-window MSA + MLP (reference: Swin_3D.py:181-287)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int] = (2, 7, 7)
+    shift_size: Tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    use_checkpoint: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [B, D, H, W, C]."""
+        B, D, H, W, C = x.shape
+        ws, ss = get_window_size((D, H, W), self.window_size, self.shift_size)
+
+        shortcut = x
+        y = LayerNorm3d(affine=False, dtype=self.dtype)(x)
+
+        # pad to window multiples (trace-time static)
+        pad_d = (ws[0] - D % ws[0]) % ws[0]
+        pad_h = (ws[1] - H % ws[1]) % ws[1]
+        pad_w = (ws[2] - W % ws[2]) % ws[2]
+        if pad_d or pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        _, Dp, Hp, Wp, _ = y.shape
+
+        shifted = any(s > 0 for s in ss)
+        if shifted:
+            y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+            mask = compute_shift_mask(Dp, Hp, Wp, ws, ss)
+            mask = jnp.asarray(mask) if mask is not None else None
+        else:
+            mask = None
+
+        windows = window_partition(y, ws)
+        attn = WindowAttention3D(
+            dim=self.dim, window_size=ws, num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            name="attn")(windows, mask, train)
+        y = window_reverse(attn, ws, B, Dp, Hp, Wp)
+
+        if shifted:
+            y = jnp.roll(y, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            y = y[:, :D, :H, :W, :]
+
+        x = shortcut + DropPath(self.drop_path)(y, train=train)
+
+        z = LayerNorm3d(affine=False, dtype=self.dtype)(x)
+        z = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                out_features=self.dim, drop=self.drop,
+                kernel_init=self.kernel_init, dtype=self.dtype)(z, train=train)
+        return x + DropPath(self.drop_path)(z, train=train)
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv3d patchify with pad-to-multiple (reference: Swin_3D.py:449-491).
+    Channels-last: [N, D, H, W, C] -> [N, D/p, H/p, W/p, E]."""
+
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 64
+    patch_norm: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        _, D, H, W, _ = x.shape
+        p = self.patch_size
+        pads = [(0, (p[i] - s % p[i]) % p[i]) for i, s in enumerate((D, H, W))]
+        if any(hi for _, hi in pads):
+            x = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
+        x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID",
+                    use_bias=True, kernel_init=self.kernel_init,
+                    bias_init=nn.initializers.zeros_init(),
+                    dtype=self.dtype)(x)
+        if self.patch_norm:
+            x = LayerNorm3d(affine=False, dtype=self.dtype)(x)
+        return x
+
+
+class SwinStage(nn.Module):
+    """BasicLayer: optional patch-embed downsample + depth blocks
+    (reference: Swin_3D.py:355-446)."""
+
+    in_dim: int
+    dim: int
+    depth: int
+    num_heads: int
+    patch_size: Tuple[int, int, int] = (1, 1, 1)
+    window_size: Tuple[int, int, int] = (4, 4, 4)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = (0.0,)
+    patch_norm: bool = False
+    use_checkpoint: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.in_dim != self.dim or tuple(self.patch_size) != (1, 1, 1):
+            x = PatchEmbed3D(patch_size=tuple(self.patch_size),
+                             embed_dim=self.dim, patch_norm=self.patch_norm,
+                             kernel_init=self.kernel_init, dtype=self.dtype,
+                             name="downsample")(x)
+        shift = tuple(w // 2 for w in self.window_size)
+        for i in range(self.depth):
+            blk = SwinBlock3D(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=tuple(self.window_size),
+                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                name=f"block{i}")
+            if self.use_checkpoint:
+                x = nn.remat(lambda m, a: m(a, train),
+                             prevent_cse=False)(blk, x)
+            else:
+                x = blk(x, train)
+        return x
+
+
+class SwinTower(nn.Module):
+    """One variable's Swin tower: stages + projection head."""
+
+    in_chans: int
+    embed_dim: List[int]
+    depths: List[int]
+    num_heads: List[int]
+    window_size: List[Tuple[int, int, int]]
+    patch_size: Tuple[int, int, int] = (1, 1, 1)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    patch_norm: bool = False
+    use_checkpoint: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [N, T, H, W, C_in] -> [N, T, H, W, E]."""
+        n_layers = len(self.embed_dim)
+        total = sum(self.depths)
+        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
+        for i in range(n_layers):
+            lo = sum(self.depths[:i])
+            x = SwinStage(
+                in_dim=self.embed_dim[i - 1] if i > 0 else self.in_chans,
+                patch_size=tuple(self.patch_size) if i == 0 else (1, 1, 1),
+                dim=self.embed_dim[i],
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=tuple(self.window_size[i]),
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path=dpr[lo:lo + self.depths[i]],
+                patch_norm=self.patch_norm and i == 0,
+                use_checkpoint=self.use_checkpoint,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                name=f"stage{i}")(x, train)
+        x = ProjHead(self.embed_dim[-1], kernel_init=self.kernel_init,
+                     dtype=self.dtype, name="proj")(x)
+        return x
+
+
+class Swin_3D(nn.Module):
+    """Multi-variable Video Swin-3D encoder (reference: Swin_3D.py:494-636).
+
+    [N, V, C, T, H, W] -> [N, V, E, T, H, W]; one vmapped tower with stacked
+    per-variable params.
+    """
+
+    in_vars: int = 6
+    in_chans: int = 1
+    embed_dim: Optional[List[int]] = None
+    window_size: Optional[List[Tuple[int, int, int]]] = None
+    depths: Optional[List[int]] = None
+    num_heads: Optional[List[int]] = None
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    patch_size: Tuple[int, int, int] = (1, 1, 1)
+    patch_norm: bool = False
+    use_checkpoint: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        embed_dim = self.embed_dim or [16, 16]
+        window_size = self.window_size or [(2, 4, 4), (8, 1, 1)]
+        depths = self.depths or [2, 1]
+        num_heads = self.num_heads or [2, 2]
+
+        x = jnp.transpose(x, (0, 1, 3, 4, 5, 2))  # [N, V, T, H, W, C]
+        tower = nn.vmap(
+            SwinTower,
+            in_axes=(1, None),
+            out_axes=1,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True, "droppath": True},
+            methods=["__call__"],
+        )(
+            in_chans=self.in_chans,
+            embed_dim=list(embed_dim),
+            depths=list(depths),
+            num_heads=list(num_heads),
+            window_size=[tuple(w) for w in window_size],
+            patch_size=tuple(self.patch_size),
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            patch_norm=self.patch_norm,
+            use_checkpoint=self.use_checkpoint,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            name="towers",
+        )
+        y = tower(x, train)
+        return jnp.transpose(y, (0, 1, 5, 2, 3, 4))
+
+
+# register
+from idee_tpu.models import vq_model as _vq  # noqa: E402
+
+_vq.ENCODERS.setdefault("Swin_3D", Swin_3D)

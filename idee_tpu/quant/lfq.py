@@ -1,0 +1,169 @@
+# ------------------------------------------------------------------
+"""Lookup-Free Quantization (LFQ, https://arxiv.org/abs/2310.05737).
+
+Parity target: reference models/codebook/LFQ.py (itself adapted from
+lucidrains/vector-quantize-pytorch). Each latent dim is sign-binarized to
++/-1 with a straight-through estimator; the bit-packed sign pattern is the
+code index. With the default codebook_size=2 the 16-dim feature is projected
+to 1 dim and the index in {0,1} is the anomaly bit.
+
+Numerics contract: the whole quantizer runs in float32 -- an fp32 island
+inside a bf16 program (reference forces fp32 via @autocast(enabled=False),
+models/codebook/LFQ.py:183-189).
+
+Aux loss (training only, reference: :237-300):
+  entropy_weight * per_sample_entropy - diversity_gamma * codebook_entropy
+  + commitment_weight * mse(x, stop_grad(quantized))
+with probabilities softmax(2 * x . codebook * inv_temperature) over the
+implicit codebook.
+"""
+# ------------------------------------------------------------------
+
+import math
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LFQReturn(NamedTuple):
+    quantized: jnp.ndarray  # [B, N, dim]
+    indices: jnp.ndarray    # [B, N] int32
+    aux_loss: jnp.ndarray   # scalar
+
+
+class LossBreakdown(NamedTuple):
+    per_sample_entropy: jnp.ndarray
+    codebook_entropy: jnp.ndarray
+    commitment: jnp.ndarray
+
+
+def _log(t, eps=1e-5):
+    # clamp-then-log (reference: models/codebook/LFQ.py:52-53)
+    return jnp.log(jnp.maximum(t, eps))
+
+
+def _entropy(prob):
+    return (-prob * _log(prob)).sum(axis=-1)
+
+
+class LFQ(nn.Module):
+    """Lookup-free quantizer.
+
+    forward: x [B, N, dim] -> (quantized [B, N, dim], indices [B, N], aux_loss)
+    (reference: models/codebook/LFQ.py:184-307)
+    """
+
+    dim: int = 16
+    codebook_size: int = 2
+    entropy_loss_weight: float = 0.1
+    commitment_loss_weight: float = 1.5
+    diversity_gamma: float = 1.0
+    num_codebooks: int = 1
+    codebook_scale: float = 1.0
+    inv_temperature: float = 100.0
+
+    @property
+    def codebook_dim(self) -> int:
+        cd = int(math.log2(self.codebook_size))
+        assert 2 ** cd == self.codebook_size, "codebook_size must be a power of 2"
+        return cd
+
+    @property
+    def codebook_dims(self) -> int:
+        return self.codebook_dim * self.num_codebooks
+
+    @property
+    def has_projections(self) -> bool:
+        return self.dim != self.codebook_dims
+
+    def setup(self):
+        # the reference composite model re-initializes every Linear with
+        # Normal(0.02, 0.02) after construction (models/build.py:96-118)
+        from idee_tpu.nn.layers import reference_init
+
+        if self.has_projections:
+            self.project_in = nn.Dense(self.codebook_dims, dtype=jnp.float32,
+                                       kernel_init=reference_init())
+            self.project_out = nn.Dense(self.dim, dtype=jnp.float32,
+                                        kernel_init=reference_init())
+        # bit weights, MSB first (reference: :134)
+        self.mask = 2 ** jnp.arange(self.codebook_dim - 1, -1, -1, dtype=jnp.int32)
+
+    def _codebook(self) -> jnp.ndarray:
+        """Implicit codebook [codebook_size, codebook_dim] of +/-scale codes
+        (reference: :139-146)."""
+        all_codes = jnp.arange(self.codebook_size, dtype=jnp.int32)
+        bits = ((all_codes[:, None] & self.mask) != 0).astype(jnp.float32)
+        return self.bits_to_codes(bits)
+
+    def bits_to_codes(self, bits):
+        return bits * self.codebook_scale * 2 - self.codebook_scale
+
+    def indices_to_codes(self, indices, project_out: bool = True):
+        """Index -> code vector in feature space (reference: :152-181).
+        Used by the anomaly loss to reconstruct the 'normal' code vq_0."""
+        indices = jnp.asarray(indices, jnp.int32)
+        bits = ((indices[..., None] & self.mask) != 0).astype(jnp.float32)
+        codes = self.bits_to_codes(bits)
+        if project_out and self.has_projections:
+            codes = self.project_out(codes)
+        return codes
+
+    def __call__(self, x, *, train: bool = False):
+        # fp32 island (reference: :183-189,199)
+        x = x.astype(jnp.float32)
+        assert x.shape[-1] == self.dim, (
+            f"expected dim {self.dim}, got {x.shape[-1]}"
+        )
+
+        if self.has_projections:
+            x = self.project_in(x)
+
+        B, N = x.shape[0], x.shape[1]
+        c, d = self.num_codebooks, self.codebook_dim
+        x = x.reshape(B, N, c, d)
+
+        original_input = x
+        quantized = jnp.where(x > 0, self.codebook_scale, -self.codebook_scale)
+
+        if train:
+            # straight-through estimator (reference: :227-228)
+            x = x + jax.lax.stop_gradient(quantized - x)
+        else:
+            x = quantized
+
+        # bit-packed sign pattern is the code index (reference: :234)
+        indices = ((x > 0).astype(jnp.int32) * self.mask).sum(axis=-1)  # [B,N,c]
+
+        if train:
+            codebook = self._codebook()  # [size, d]
+            # logits = 2 * x . codebook * inv_temp (reference distance is
+            # -2 x.c; prob = softmax(-distance * inv_temp), :239-240)
+            logits = 2.0 * jnp.einsum("bncd,jd->bncj", original_input, codebook)
+            prob = jax.nn.softmax(logits * self.inv_temperature, axis=-1)
+            flat_prob = prob.reshape(-1, c, self.codebook_size)
+            per_sample_entropy = _entropy(flat_prob).mean()
+            avg_prob = flat_prob.mean(axis=0)
+            codebook_entropy = _entropy(avg_prob).mean()
+            entropy_aux = (self.entropy_loss_weight * per_sample_entropy
+                           - self.diversity_gamma * codebook_entropy)
+            commit = jnp.mean(
+                (original_input - jax.lax.stop_gradient(quantized)) ** 2
+            )
+        else:
+            per_sample_entropy = codebook_entropy = jnp.float32(0.0)
+            entropy_aux = commit = jnp.float32(0.0)
+
+        x = x.reshape(B, N, c * d)
+        if self.has_projections:
+            x = self.project_out(x)
+
+        if self.num_codebooks == 1:
+            indices = indices[..., 0]
+
+        aux_loss = commit * self.commitment_loss_weight + entropy_aux
+        self.sow("intermediates", "lfq_breakdown",
+                 LossBreakdown(per_sample_entropy, codebook_entropy, commit))
+        return LFQReturn(x, indices, aux_loss)

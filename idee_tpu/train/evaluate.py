@@ -1,0 +1,84 @@
+# ------------------------------------------------------------------
+"""Test/evaluation driver for the synthetic benchmark.
+
+Parity target: reference test_synthetic.py:27-129 -- no-grad loop over the
+test split, sigmoid > 0.5 thresholding, evaluator_synthetic + majority-vote
+driver scoring vs the GT anomaly cube.
+"""
+# ------------------------------------------------------------------
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from idee_tpu.config import Config
+from idee_tpu.data.loader import DataLoader
+from idee_tpu.data.synthetic import SyntheticCube, SyntheticDataset
+from idee_tpu.models import build_model
+from idee_tpu.train.checkpoint import load_pretrained_params
+from idee_tpu.train.metrics import (AnomalyCollector, EvaluatorAnomalySynthetic,
+                                    EvaluatorSynthetic)
+from idee_tpu.train.state import create_train_state
+from idee_tpu.train.steps import make_eval_step
+from idee_tpu.utils.logging import fix_seed, get_logger, log_string
+
+
+def test_synthetic(cfg: Config, cube: Optional[SyntheticCube] = None,
+                   params=None) -> Dict:
+    logger = get_logger(cfg)
+    fix_seed(cfg.seed)
+
+    log_string(logger, "loading testing dataset ...")
+    ds = SyntheticDataset(
+        cube=cube, root_datacube=None if cube is not None else cfg.root_synthetic,
+        times=cfg.times_test, is_aug=False, is_norm=cfg.is_norm,
+        is_clima_scale=cfg.is_clima_scale,
+        variables=list(cfg.variables),
+        variables_static=list(cfg.variables_static),
+        delta_t=cfg.delta_t, window_size=cfg.window_size,
+        x_min=cfg.x_min, x_max=cfg.x_max, y_min=cfg.y_min, y_max=cfg.y_max,
+    )
+    log_string(logger, "# testing samples: %d" % len(ds))
+
+    model = build_model(cfg)
+    if params is None:
+        sample_x = ds[0]["x"][None].repeat(cfg.batch_size, 0)
+        state = create_train_state(cfg, model, sample_x)
+        params = state.params
+        if cfg.en_de_pretrained:
+            params = load_pretrained_params(cfg.en_de_pretrained, params)
+        else:
+            log_string(logger, "WARNING: no pretrained model "
+                                "(en_de_pretrained unset); evaluating a "
+                                "random initialization")
+
+    loader = DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False,
+                        seed=cfg.seed)
+    eval_step = make_eval_step(model, cfg)
+
+    evaluator = EvaluatorSynthetic(logger, "Testing")
+    collector = AnomalyCollector(ds.anomaly.shape, ds.timestep, cfg.delta_t)
+    eval_anom = EvaluatorAnomalySynthetic(logger, "Testing", cfg.variables)
+
+    loss_sum, n = 0.0, 0
+    for batch in loader:
+        logs, host = eval_step(params, batch)
+        evaluator.update_counts(jax.device_get(logs["counts"]))
+        collector(np.asarray(host["anomaly"]), np.asarray(host["timestep"]))
+        loss_sum += float(logs["loss"])
+        n += 1
+
+    collector.majority_vote()
+    eval_anom(np.swapaxes(collector.anomaly, 0, 1),
+              np.swapaxes(ds.anomaly, 0, 1))
+    eval_anom.get_results()
+    evaluator.get_results(loss_sum / max(n, 1), np.nan)
+
+    return {
+        "extreme_f1": float(np.nanmean(evaluator.F1)),
+        "extreme_iou": float(np.nanmean(evaluator.iou)),
+        "driver_f1_pos": float(np.nanmean(eval_anom.F1_pos)),
+        "driver_iou_pos": float(np.nanmean(eval_anom.iou_pos)),
+        "mean_loss": loss_sum / max(n, 1),
+    }

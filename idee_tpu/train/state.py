@@ -1,0 +1,63 @@
+# ------------------------------------------------------------------
+"""Train state + optimizer factory.
+
+Optimizer parity: the reference uses torch.optim.Adam(lr, weight_decay,
+betas) (reference: train_synthetic.py:127-129). torch Adam folds
+weight_decay into the gradient *before* the moment updates (classic L2, not
+AdamW), which in optax is add_decayed_weights -> scale_by_adam -> lr.
+"""
+# ------------------------------------------------------------------
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from idee_tpu.config import Config
+from idee_tpu.train.schedule import make_epoch_schedule
+
+
+class TrainState(train_state.TrainState):
+    """apply_fn/params/tx/opt_state/step; rng for dropout/droppath."""
+
+    rng: Any = None
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = make_epoch_schedule(cfg, steps_per_epoch)
+    if cfg.optimizer == "Adam":
+        parts = [
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
+        ]
+    elif cfg.optimizer == "AdamW":
+        parts = [
+            optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
+            optax.add_decayed_weights(cfg.weight_decay),
+        ]
+    else:
+        raise ValueError(
+            f"Unexpected optimizer {cfg.optimizer}; supported: Adam, AdamW"
+        )
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def create_train_state(cfg: Config, model, sample_x, rng=None,
+                       steps_per_epoch: int = 1) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    p_rng, s_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": p_rng, "dropout": p_rng, "droppath": p_rng},
+        jnp.asarray(sample_x), train=False,
+    )
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx, rng=s_rng
+    )
+
+
+def count_parameters(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

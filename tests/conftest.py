@@ -1,0 +1,46 @@
+import os
+
+# 8 virtual CPU devices for multi-chip sharding tests. NOTE: this container
+# pre-registers a TPU PJRT plugin via sitecustomize, so JAX_PLATFORMS in
+# os.environ can be too late -- use jax.config.update before any backend use.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def fake_cube():
+    from idee_tpu.data.fake import make_fake_cube
+
+    return make_fake_cube(n_vars=3, n_time=64, height=16, width=16, seed=0)
+
+
+@pytest.fixture(scope="session")
+def tiny_config():
+    from idee_tpu.config import synthetic_config
+
+    return synthetic_config(
+        in_channels_dynamic=3,
+        variables=["var_01", "var_02", "var_03"],
+        x_max=16, y_max=16,
+        times_train=(1, 40), times_val=(41, 56),
+        en_embed_dim=[8, 8], en_depths=[1, 1],
+        codebook_dim=8, cls_dim=8,
+        batch_size=2, n_epochs=2,
+    )
+
+
+REFERENCE = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE)

@@ -1,0 +1,153 @@
+"""Synthetic dataset semantics: time reversal, masks, normalization,
+augmentation consistency, NetCDF adapter round-trip."""
+
+import numpy as np
+import pytest
+
+from idee_tpu.data.fake import make_fake_cube, write_fake_netcdf
+from idee_tpu.data.synthetic import SyntheticDataset, _week_of
+
+
+def _ds(cube, **kw):
+    defaults = dict(
+        cube=cube, times=(1, cube.dynamic.shape[1]),
+        variables=list(cube.variables),
+        variables_static=list(cube.variables_static),
+        delta_t=8, is_aug=False, is_norm=False,
+        x_min=0, x_max=cube.dynamic.shape[-1],
+        y_min=0, y_max=cube.dynamic.shape[-2],
+    )
+    defaults.update(kw)
+    return SyntheticDataset(**defaults)
+
+
+def test_week_of_matches_reference_formula():
+    t = np.arange(1, 160, dtype=np.float32)
+    ref = np.array([
+        (x - 1) - 52 * ((x - 1) // 52) if (x - 1) // 52 != 0 else (x - 1)
+        for x in t
+    ])
+    np.testing.assert_array_equal(_week_of(t), ref)
+
+
+def test_len_and_item_shapes(fake_cube):
+    ds = _ds(fake_cube)
+    V, T, H, W = fake_cube.dynamic.shape
+    assert len(ds) == T - 8 + 1
+    it = ds[0]
+    assert it["x"].shape == (V, 1, 8, H, W)
+    assert it["mask_extreme"].shape == (H, W)
+    assert it["mask_extreme_loss"].shape == (H, W)
+    assert it["mask_anomaly"].shape == (V, 8, H, W)
+    assert it["week"].shape == (8,)
+    assert it["timestep"].shape == (1,)
+
+
+def test_time_reversal(fake_cube):
+    """Index 0 of the window must be the TARGET week Delta-t_0
+    (reference: dataset/Synthetic_dataset.py:331)."""
+    ds = _ds(fake_cube)
+    i = 5
+    it = ds[i]
+    np.testing.assert_array_equal(
+        it["x"][:, 0, 0], fake_cube.dynamic[:, i + 8 - 1])
+    np.testing.assert_array_equal(
+        it["x"][:, 0, -1], fake_cube.dynamic[:, i])
+    np.testing.assert_array_equal(
+        it["mask_anomaly"][:, 0], fake_cube.anomaly[:, i + 8 - 1])
+    assert it["timestep"][0] == ds.timestep[i + 8 - 1]
+
+
+def test_masks(fake_cube):
+    ds = _ds(fake_cube)
+    i = 3
+    it = ds[i]
+    expected_target = fake_cube.extreme[i + 7].copy()
+    expected_target[expected_target > 1] = 0
+    np.testing.assert_array_equal(it["mask_extreme"], expected_target)
+    union = np.clip(fake_cube.extreme[i:i + 8].sum(0), 0, 1)
+    np.testing.assert_array_equal(it["mask_extreme_loss"], union)
+
+
+def test_global_normalization(fake_cube):
+    ds = _ds(fake_cube, is_norm=True, is_clima_scale=False)
+    v0 = fake_cube.variables[0]
+    s = fake_cube.stats[v0]
+    expected = np.clip(
+        (fake_cube.dynamic[0] - s["median"]) / s["std"], -10, 10)
+    np.testing.assert_allclose(ds.datacube_dynamic[0], expected, rtol=1e-5)
+
+
+def test_climatology_normalization(fake_cube):
+    ds = _ds(fake_cube, is_norm=True, is_clima_scale=True)
+    t = 60  # timestep 61 -> week 8
+    wk = int((61 - 1) % 52)
+    expected = np.clip(
+        (fake_cube.dynamic[0, t] - fake_cube.clima_median[0, wk])
+        / fake_cube.clima_std[0, wk], -10, 10)
+    np.testing.assert_allclose(ds.datacube_dynamic[0, t], expected, rtol=1e-5)
+
+
+def test_augmentation_consistency(fake_cube):
+    """Augmented data and masks must receive the same transform."""
+    ds = _ds(fake_cube, is_aug=True, seed=123)
+    found = False
+    for trial in range(20):
+        it = ds[2]
+        raw = np.flip(ds.datacube_dynamic[:, 2:10], 1)[:, None]
+        if not np.array_equal(it["x"], raw):
+            found = True
+            # the same flip/rot must map the raw anomaly onto the item's
+            anom_raw = np.flip(ds.anomaly[:, 2:10], 1)
+            ok = False
+            for k in (0, 2):
+                for ax in (None, -1, -2):
+                    cand_x = np.rot90(raw, k=k, axes=(-1, -2)) if k else raw
+                    cand_a = np.rot90(anom_raw, k=k, axes=(-1, -2)) if k else anom_raw
+                    if ax is not None:
+                        cand_x = np.flip(cand_x, axis=ax)
+                        cand_a = np.flip(cand_a, axis=ax)
+                    if np.array_equal(it["x"], cand_x):
+                        ok = ok or np.array_equal(it["mask_anomaly"], cand_a)
+            assert ok
+            break
+    assert found, "augmentation never triggered in 20 draws"
+
+
+def test_window_reduce(fake_cube):
+    ds = _ds(fake_cube, window_size=2)
+    V, T, H, W = fake_cube.dynamic.shape
+    assert ds.datacube_dynamic.shape == (V, T, H // 2, W // 2)
+    block = fake_cube.dynamic[0, 0, :2, :2].mean()
+    np.testing.assert_allclose(ds.datacube_dynamic[0, 0, 0, 0], block,
+                               rtol=1e-5)
+
+
+def test_netcdf_roundtrip(tmp_path, fake_cube):
+    pytest.importorskip("h5py")
+    root = str(tmp_path / "synthetic_fake")
+    write_fake_netcdf(root, fake_cube)
+    ds_file = SyntheticDataset(
+        root_datacube=root, times=(1, 64),
+        variables=list(fake_cube.variables),
+        variables_static=list(fake_cube.variables_static),
+        delta_t=8, is_aug=False, is_norm=True, is_clima_scale=False,
+        x_min=0, x_max=16, y_min=0, y_max=16,
+    )
+    ds_mem = _ds(fake_cube, is_norm=True, is_clima_scale=False)
+    np.testing.assert_allclose(ds_file.datacube_dynamic,
+                               ds_mem.datacube_dynamic, rtol=1e-5)
+    np.testing.assert_array_equal(ds_file.anomaly, ds_mem.anomaly)
+    np.testing.assert_array_equal(ds_file.extreme, ds_mem.extreme)
+
+
+def test_loader_batches(fake_cube):
+    from idee_tpu.data.loader import DataLoader
+
+    ds = _ds(fake_cube)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["x"].shape[0] == 4
+    assert b["mask_extreme"].shape[0] == 4

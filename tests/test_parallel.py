@@ -1,0 +1,71 @@
+"""Multi-device data parallelism on the 8-device virtual CPU mesh:
+sharded train step compiles, runs, and matches the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idee_tpu.models import build_model
+from idee_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from idee_tpu.train.state import create_train_state
+from idee_tpu.train.steps import make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh([8], ("data",))
+
+
+def _make(cfg, batch_size):
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(batch_size, 3, 1, 8, 16, 16)),
+                         jnp.float32),
+        "mask_extreme": jnp.asarray(
+            (rng.random((batch_size, 16, 16)) < 0.2), jnp.float32),
+        "mask_extreme_loss": jnp.asarray(
+            (rng.random((batch_size, 16, 16)) < 0.3), jnp.float32),
+        "timestep": jnp.zeros((batch_size, 1)),
+    }
+    state = create_train_state(cfg, model, batch["x"], steps_per_epoch=10)
+    return model, state, batch
+
+
+def test_sharded_step_matches_single_device(tiny_config, mesh):
+    cfg = tiny_config.replace(is_aug=False, en_drop_rate=0.0,
+                              cls_drop_rate=0.0)
+    model, state, batch = _make(cfg, batch_size=8)
+    step = make_train_step(model, cfg, donate=False)
+
+    # single device
+    s1, logs1, _ = step(state, batch)
+
+    # sharded batch over the mesh, replicated params
+    bshard = batch_sharding(mesh)
+    rep = replicate_sharding(mesh)
+    batch_sh = jax.tree.map(lambda a: jax.device_put(a, bshard), batch)
+    state_sh = jax.device_put(state, rep)
+    s2, logs2, _ = step(state_sh, batch_sh)
+
+    np.testing.assert_allclose(float(logs1["loss"]), float(logs2["loss"]),
+                               rtol=2e-4)
+    # params after one update must match (GSPMD grad reduction correct)
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_counts_are_global(tiny_config, mesh):
+    cfg = tiny_config
+    model, state, batch = _make(cfg, batch_size=8)
+    step = make_train_step(model, cfg, donate=False)
+    batch_sh = jax.tree.map(
+        lambda a: jax.device_put(a, batch_sharding(mesh)), batch)
+    state_sh = jax.device_put(state, replicate_sharding(mesh))
+    _, logs, _ = step(state_sh, batch_sh)
+    assert int(logs["counts"]["seen_all"]) == 8 * 16 * 16

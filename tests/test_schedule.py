@@ -1,0 +1,37 @@
+"""LR schedule: timm CosineLRScheduler-equivalent values."""
+
+import numpy as np
+
+from idee_tpu.config import synthetic_config
+from idee_tpu.train.schedule import make_epoch_schedule
+
+
+def test_cosine_schedule_values():
+    cfg = synthetic_config(lr=1e-3, lr_min=1e-5, lr_warmup=1e-6,
+                           lr_warmup_epochs=2, n_epochs=100,
+                           lr_scheduler="cosine")
+    fn = make_epoch_schedule(cfg, steps_per_epoch=10)
+
+    # epoch 0: warmup_lr_init
+    np.testing.assert_allclose(float(fn(0)), 1e-6, rtol=1e-6)
+    # epoch 1: warmup_init + (base - init)/2
+    np.testing.assert_allclose(float(fn(10)), 1e-6 + (1e-3 - 1e-6) / 2,
+                               rtol=1e-6)
+    # epoch 2: cosine at t=2
+    expected = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + np.cos(np.pi * 2 / 100))
+    np.testing.assert_allclose(float(fn(20)), expected, rtol=1e-6)
+    # epoch 100: lr_min
+    expected = 1e-5 + 0.5 * (1e-3 - 1e-5) * (1 + np.cos(np.pi))
+    np.testing.assert_allclose(float(fn(1000)), expected, rtol=1e-6)
+    # constant within an epoch
+    assert float(fn(25)) == float(fn(29))
+
+
+def test_step_schedule_values():
+    cfg = synthetic_config(lr=1e-3, lr_decay_step=20, lr_decay_rate=0.9,
+                           lr_warmup=1e-6, lr_warmup_epochs=2,
+                           lr_scheduler="step", n_epochs=100)
+    fn = make_epoch_schedule(cfg, steps_per_epoch=1)
+    np.testing.assert_allclose(float(fn(5)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(25)), 1e-3 * 0.9, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(45)), 1e-3 * 0.81, rtol=1e-5)
