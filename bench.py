@@ -22,8 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Recorded round-1 steps/sec on one TPU v5e chip (updated when re-measured).
-ROUND1_BASELINE = None  # set after first hardware measurement
+# First recorded measurement on one TPU v5e chip (round 1, v0 host-synced
+# loop): 9.856 steps/sec. vs_baseline reports progress against this.
+ROUND1_BASELINE = 9.856
 
 
 def main():
@@ -36,7 +37,7 @@ def main():
     from idee_tpu.data.synthetic import SyntheticDataset
     from idee_tpu.models import build_model
     from idee_tpu.train.state import create_train_state
-    from idee_tpu.train.steps import make_train_step
+    from idee_tpu.train.steps import init_epoch_metrics, make_train_step
 
     encoder = os.environ.get("BENCH_ENCODER", "CNN_3D")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
@@ -64,11 +65,12 @@ def main():
     first = next(iter(loader))
     state = create_train_state(cfg, model, first["x"],
                                steps_per_epoch=len(loader))
-    step = make_train_step(model, cfg)
+    step = make_train_step(model, cfg, t0=float(ds.timestep[0]))
+    metrics = init_epoch_metrics(ds.anomaly.shape)
 
     # compile
-    state, logs, _ = step(state, first)
-    jax.block_until_ready(logs["loss"])
+    state, metrics = step(state, metrics, first)
+    jax.block_until_ready(metrics["n_steps"])
 
     it = iter(loader)
 
@@ -84,12 +86,12 @@ def main():
     t0 = None
     while done < n_steps:
         b = next_batch()
-        state, logs, _ = step(state, b)
+        state, metrics = step(state, metrics, b)
         done += 1
         if done == warmup:
-            jax.block_until_ready(logs["loss"])
+            jax.block_until_ready(metrics["n_steps"])
             t0 = time.perf_counter()
-    jax.block_until_ready(logs["loss"])
+    jax.block_until_ready(metrics["n_steps"])
     dt = time.perf_counter() - t0
     sps = (n_steps - warmup) / dt
 

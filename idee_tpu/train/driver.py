@@ -6,8 +6,9 @@ loss composition, same evaluators and per-epoch majority-vote driver scoring,
 same best-loss / best-F1 checkpoint policy -- restructured TPU-first:
 
 * ONE jitted train step (forward+backward+update+thresholding+metric
-  counters on device); the host only accumulates tiny counters and the
-  [N,V,T,H,W] anomaly bits for the timeline collector,
+  counters+vote scatter all on device); the host syncs ONE small metrics
+  pytree per epoch instead of full tensors per step (the reference stalls
+  on .cpu() every step, train_synthetic.py:209-215),
 * the input pipeline prefetches batches to device memory ahead of compute,
 * multi-chip: batch sharded over the mesh 'data' axis (GSPMD).
 """
@@ -26,11 +27,20 @@ from idee_tpu.data.synthetic import SyntheticCube, SyntheticDataset
 from idee_tpu.models import build_model
 from idee_tpu.parallel.mesh import batch_sharding, make_mesh
 from idee_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
-from idee_tpu.train.metrics import (AnomalyCollector, EvaluatorAnomalySynthetic,
-                                    EvaluatorSynthetic)
+from idee_tpu.train.metrics import (EvaluatorAnomalySynthetic,
+                                    EvaluatorSynthetic,
+                                    majority_vote_from_device)
 from idee_tpu.train.state import count_parameters, create_train_state
-from idee_tpu.train.steps import make_eval_step, make_train_step
+from idee_tpu.train.steps import (init_epoch_metrics, make_eval_step,
+                                  make_train_step)
 from idee_tpu.utils.logging import StepTimer, fix_seed, get_logger, log_string
+
+
+def _nanmean(a) -> float:
+    """np.nanmean without the all-NaN RuntimeWarning."""
+    a = np.asarray(a, dtype=float)
+    m = ~np.isnan(a)
+    return float(a[m].mean()) if m.any() else float("nan")
 
 
 def _make_datasets(cfg: Config, train_cube=None, val_cube=None):
@@ -54,6 +64,16 @@ def _make_datasets(cfg: Config, train_cube=None, val_cube=None):
     return train_ds, val_ds
 
 
+def _epoch_results(metrics_host, evaluator, eval_anom, gt_anomaly):
+    """Fold one epoch's device metrics into the host evaluators."""
+    evaluator.update_counts(metrics_host["counts"])
+    anomaly = majority_vote_from_device(metrics_host["vote_sum"],
+                                        metrics_host["vote_cnt"])
+    eval_anom(np.swapaxes(anomaly, 0, 1), np.swapaxes(gt_anomaly, 0, 1))
+    n = max(int(metrics_host["n_steps"]), 1)
+    return float(metrics_host["loss_sums"]["loss"]) / n
+
+
 def train_synthetic(cfg: Config,
                     train_cube: Optional[SyntheticCube] = None,
                     val_cube: Optional[SyntheticCube] = None,
@@ -75,7 +95,7 @@ def train_synthetic(cfg: Config,
                               drop_last=True, seed=cfg.seed,
                               sharding=sharding)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=False, seed=cfg.seed,
+                            drop_last=True, seed=cfg.seed,
                             sharding=sharding)
 
     log_string(logger, "\nloading the model ...")
@@ -100,15 +120,11 @@ def train_synthetic(cfg: Config,
         start_epoch = int(restored["meta"]["epoch"]) + 1
         log_string(logger, f"auto-resumed from epoch {start_epoch}")
 
-    train_step = make_train_step(model, cfg)
-    eval_step = make_eval_step(model, cfg)
+    train_step = make_train_step(model, cfg, t0=float(train_ds.timestep[0]))
+    eval_step = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]))
 
     eval_train = EvaluatorSynthetic(logger, "Training")
     eval_val = EvaluatorSynthetic(logger, "Validation")
-    col_train = AnomalyCollector(train_ds.anomaly.shape, train_ds.timestep,
-                                 cfg.delta_t)
-    col_val = AnomalyCollector(val_ds.anomaly.shape, val_ds.timestep,
-                               cfg.delta_t)
     eval_train_anom = EvaluatorAnomalySynthetic(logger, "Training",
                                                 cfg.variables)
     eval_val_anom = EvaluatorAnomalySynthetic(logger, "Validation",
@@ -124,38 +140,26 @@ def train_synthetic(cfg: Config,
         log_string(logger, "################# Epoch (%s/%s) #################"
                    % (epoch + 1, cfg.n_epochs))
         timer = StepTimer()
-        loss_sum, n_steps = 0.0, 0
 
-        # -- train epoch: device compute + async counter accumulation --
-        pending = []  # (logs, host) pairs awaiting host sync
+        # -- train epoch: fully device-resident accumulation --
+        metrics = init_epoch_metrics(train_ds.anomaly.shape)
         for batch in train_loader:
-            state, logs, host = train_step(state, batch)
-            pending.append((logs, host))
-            n_steps += 1
+            state, metrics = train_step(state, metrics, batch)
             timer.tick()
-            if len(pending) >= 2:  # lag host sync one step behind compute
-                loss_sum += _drain(pending.pop(0), eval_train, col_train)
-        for item in pending:
-            loss_sum += _drain(item, eval_train, col_train)
-
-        mean_loss_train = loss_sum / max(n_steps, 1)
-        col_train.majority_vote()
-        eval_train_anom(np.swapaxes(col_train.anomaly, 0, 1),
-                        np.swapaxes(train_ds.anomaly, 0, 1))
+        m = jax.device_get(metrics)
+        mean_loss_train = _epoch_results(m, eval_train, eval_train_anom,
+                                         train_ds.anomaly)
         eval_train_anom.get_results()
         eval_train.get_results(mean_loss_train, best_loss_train)
         best_loss_train = min(best_loss_train, mean_loss_train)
 
         # -- validation --
-        loss_sum, n_val = 0.0, 0
+        metrics = init_epoch_metrics(val_ds.anomaly.shape)
         for batch in val_loader:
-            logs, host = eval_step(state.params, batch)
-            loss_sum += _drain((logs, host), eval_val, col_val)
-            n_val += 1
-        mean_loss_val = loss_sum / max(n_val, 1)
-        col_val.majority_vote()
-        eval_val_anom(np.swapaxes(col_val.anomaly, 0, 1),
-                      np.swapaxes(val_ds.anomaly, 0, 1))
+            metrics = eval_step(state.params, metrics, batch)
+        m = jax.device_get(metrics)
+        mean_loss_val = _epoch_results(m, eval_val, eval_val_anom,
+                                       val_ds.anomaly)
         eval_val_anom.get_results()
         eval_val.get_results(mean_loss_val, best_loss_val)
 
@@ -164,7 +168,7 @@ def train_synthetic(cfg: Config,
             best_loss_val = mean_loss_val
             ckpt.save("best_loss_model", state, epoch, mean_loss_train,
                       mean_loss_val)
-        f1_val = float(np.nanmean(eval_val.F1))
+        f1_val = _nanmean(eval_val.F1)
         if f1_val >= best_f1_val:
             best_f1_val = f1_val
             ckpt.save("best_F1_model", state, epoch, mean_loss_train,
@@ -173,25 +177,15 @@ def train_synthetic(cfg: Config,
 
         history["train_loss"].append(mean_loss_train)
         history["val_loss"].append(mean_loss_val)
-        history["train_f1"].append(float(np.nanmean(eval_train.F1)))
+        history["train_f1"].append(_nanmean(eval_train.F1))
         history["val_f1"].append(f1_val)
-        history["train_anom_f1"].append(float(np.nanmean(eval_train_anom.F1_pos)))
-        history["val_anom_f1"].append(float(np.nanmean(eval_val_anom.F1_pos)))
+        history["train_anom_f1"].append(_nanmean(eval_train_anom.F1_pos))
+        history["val_anom_f1"].append(_nanmean(eval_val_anom.F1_pos))
         history["steps_per_sec"].append(timer.steps_per_sec)
         log_string(logger, "steps/sec: %.3f" % timer.steps_per_sec)
 
         for ev in (eval_train, eval_val, eval_train_anom, eval_val_anom):
             ev.reset()
-        col_train.reset()
-        col_val.reset()
 
     history["state"] = state
     return history
-
-
-def _drain(item, evaluator, collector) -> float:
-    """Host-sync one step's logs: accumulate counters + timeline votes."""
-    logs, host = item
-    evaluator.update_counts(jax.device_get(logs["counts"]))
-    collector(np.asarray(host["anomaly"]), np.asarray(host["timestep"]))
-    return float(logs["loss"])

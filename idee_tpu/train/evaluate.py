@@ -17,10 +17,11 @@ from idee_tpu.data.loader import DataLoader
 from idee_tpu.data.synthetic import SyntheticCube, SyntheticDataset
 from idee_tpu.models import build_model
 from idee_tpu.train.checkpoint import load_pretrained_params
-from idee_tpu.train.metrics import (AnomalyCollector, EvaluatorAnomalySynthetic,
-                                    EvaluatorSynthetic)
+from idee_tpu.train.metrics import (EvaluatorAnomalySynthetic,
+                                    EvaluatorSynthetic,
+                                    majority_vote_from_device)
 from idee_tpu.train.state import create_train_state
-from idee_tpu.train.steps import make_eval_step
+from idee_tpu.train.steps import init_epoch_metrics, make_eval_step
 from idee_tpu.utils.logging import fix_seed, get_logger, log_string
 
 
@@ -53,27 +54,25 @@ def test_synthetic(cfg: Config, cube: Optional[SyntheticCube] = None,
                                 "(en_de_pretrained unset); evaluating a "
                                 "random initialization")
 
-    loader = DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=False,
+    loader = DataLoader(ds, cfg.batch_size, shuffle=False, drop_last=True,
                         seed=cfg.seed)
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, t0=float(ds.timestep[0]))
 
     evaluator = EvaluatorSynthetic(logger, "Testing")
-    collector = AnomalyCollector(ds.anomaly.shape, ds.timestep, cfg.delta_t)
     eval_anom = EvaluatorAnomalySynthetic(logger, "Testing", cfg.variables)
 
-    loss_sum, n = 0.0, 0
+    metrics = init_epoch_metrics(ds.anomaly.shape)
     for batch in loader:
-        logs, host = eval_step(params, batch)
-        evaluator.update_counts(jax.device_get(logs["counts"]))
-        collector(np.asarray(host["anomaly"]), np.asarray(host["timestep"]))
-        loss_sum += float(logs["loss"])
-        n += 1
+        metrics = eval_step(params, metrics, batch)
+    m = jax.device_get(metrics)
 
-    collector.majority_vote()
-    eval_anom(np.swapaxes(collector.anomaly, 0, 1),
-              np.swapaxes(ds.anomaly, 0, 1))
+    evaluator.update_counts(m["counts"])
+    anomaly = majority_vote_from_device(m["vote_sum"], m["vote_cnt"])
+    eval_anom(np.swapaxes(anomaly, 0, 1), np.swapaxes(ds.anomaly, 0, 1))
     eval_anom.get_results()
-    evaluator.get_results(loss_sum / max(n, 1), np.nan)
+    n = max(int(m["n_steps"]), 1)
+    loss_sum = float(m["loss_sums"]["loss"])
+    evaluator.get_results(loss_sum / n, np.nan)
 
     return {
         "extreme_f1": float(np.nanmean(evaluator.F1)),

@@ -316,3 +316,15 @@ class AnomalyCollector:
         self.anomaly = np.where(
             self.anomaly >= 0.5, 1.0,
             np.where(self.anomaly < 0.5, 0.0, self.anomaly))
+
+
+def majority_vote_from_device(vote_sum: np.ndarray,
+                              vote_cnt: np.ndarray) -> np.ndarray:
+    """Threshold the device-accumulated vote buffers
+    (steps.init_epoch_metrics) into the collector's [V, T, H, W] anomaly
+    matrix. Same semantics as AnomalyCollector.majority_vote: mean >= 0.5
+    -> 1, uncovered slots -> NaN."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vote = vote_sum.astype(np.float32) / vote_cnt.astype(np.float32)[
+            None, :, None, None]
+    return np.where(vote >= 0.5, 1.0, np.where(vote < 0.5, 0.0, vote))

@@ -49,9 +49,16 @@ def create_train_state(cfg: Config, model, sample_x, rng=None,
                        steps_per_epoch: int = 1) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     p_rng, s_rng = jax.random.split(rng)
-    variables = model.init(
+
+    # jit the init: eager flax init dispatches thousands of tiny ops, which
+    # is pathologically slow on remote-dispatch TPU backends
+    @jax.jit
+    def _init(rngs, x):
+        return model.init(rngs, x, train=False)
+
+    variables = _init(
         {"params": p_rng, "dropout": p_rng, "droppath": p_rng},
-        jnp.asarray(sample_x), train=False,
+        jnp.asarray(sample_x),
     )
     tx = make_optimizer(cfg, steps_per_epoch)
     return TrainState.create(

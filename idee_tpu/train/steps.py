@@ -1,19 +1,28 @@
 # ------------------------------------------------------------------
-"""Jitted train / eval steps.
+"""Jitted train / eval steps with device-resident epoch metrics.
 
 TPU-first restructure of the reference hot loop (train_synthetic.py:170-215):
-the forward, loss, backward, optimizer update, sigmoid-threshold and the
-extreme-evaluator *counter updates* all run on device inside one jit; only
-tiny counter vectors and the [N,V,T,H,W] anomaly bits return to the host
-(the reference syncs full tensors to CPU every step at :209-215).
+the reference syncs full tensors to the CPU every step (`.detach().cpu()` at
+:209-215) -- on TPU that stalls the pipeline once per step. Here EVERYTHING
+accumulates on device across the epoch:
+
+* extreme-evaluator counters (evaluator_synthetic semantics,
+  utils/utils_train.py:339-347),
+* loss component sums,
+* the anomaly majority-vote timeline (anomaly_collector semantics,
+  utils/utils_train.py:529-554) as a [V, T, H, W] vote-sum buffer plus a
+  [T] coverage counter (the reference's full-shape counter only varies along
+  time, so a vector suffices),
+
+and the host syncs ONE metrics pytree per epoch.
 """
 # ------------------------------------------------------------------
 
-import functools
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from idee_tpu import losses
 from idee_tpu.config import Config
@@ -33,10 +42,74 @@ def extreme_counts(pred_c, gt) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_train_step(model, cfg: Config, tx=None, donate: bool = True):
-    """Returns jitted train_step(state, batch) -> (state, logs, host_outs)."""
+def init_epoch_metrics(anomaly_shape: Tuple[int, int, int, int]) -> Dict[str, Any]:
+    """Device-resident epoch accumulator. anomaly_shape = [V, T, H, W]
+    (the dataset's full timeline)."""
+    V, T, H, W = anomaly_shape
+    # NOTE: each entry must be a DISTINCT buffer -- the step donates the
+    # whole metrics tree and XLA rejects donating one buffer twice
+    return {
+        "counts": {k: jnp.zeros((), jnp.int32) for k in
+                   ("correct", "seen", "iou_de", "predicted", "seen_all")},
+        "loss_sums": {k: jnp.zeros((), jnp.float32) for k in
+                      ("loss", "loss_bce", "loss_anomaly", "loss_var",
+                       "loss_z_q")},
+        "n_steps": jnp.zeros((), jnp.int32),
+        # vote sums fit uint8: each timeline slot is covered by at most
+        # delta_t windows per epoch, and delta_t << 255
+        "vote_sum": jnp.zeros((V, T, H, W), jnp.uint8),
+        "vote_cnt": jnp.zeros((T,), jnp.int32),
+    }
 
-    def step(state, batch):
+
+def _scatter_votes(vote_sum, vote_cnt, anomaly, t_index, delta_t: int):
+    """Scatter each sample's time-reversed [V, dt, H, W] anomaly bits onto
+    the absolute timeline at [t_index - dt + 1, t_index]
+    (anomaly_collector.__call__ semantics, utils/utils_train.py:547-554)."""
+    N = anomaly.shape[0]
+    V, T, H, W = vote_sum.shape
+
+    def body(i, carry):
+        vs, vc = carry
+        a = jnp.flip(anomaly[i], axis=1).astype(vs.dtype)  # chronological
+        start = t_index[i] - (delta_t - 1)
+        cur = jax.lax.dynamic_slice(vs, (0, start, 0, 0), (V, delta_t, H, W))
+        vs = jax.lax.dynamic_update_slice(vs, cur + a, (0, start, 0, 0))
+        cc = jax.lax.dynamic_slice(vc, (start,), (delta_t,))
+        vc = jax.lax.dynamic_update_slice(vc, cc + 1, (start,))
+        return vs, vc
+
+    return jax.lax.fori_loop(0, N, body, (vote_sum, vote_cnt))
+
+
+def _accumulate(metrics, comps, out, batch, t0: float, delta_t: int,
+                threshold: float = 0.5):
+    pred = jax.nn.sigmoid(out.z)
+    pred_c = (pred > threshold).astype(jnp.float32)
+    target = batch["mask_extreme"][:, None]
+
+    counts = extreme_counts(pred_c, target)
+    metrics = dict(metrics)
+    metrics["counts"] = jax.tree.map(jnp.add, metrics["counts"], counts)
+    metrics["loss_sums"] = {
+        k: metrics["loss_sums"][k] + comps[k] for k in metrics["loss_sums"]
+    }
+    metrics["n_steps"] = metrics["n_steps"] + 1
+
+    t_index = (batch["timestep"][:, 0] - t0).astype(jnp.int32)
+    vs, vc = _scatter_votes(metrics["vote_sum"], metrics["vote_cnt"],
+                            out.anomaly, t_index, delta_t)
+    metrics["vote_sum"], metrics["vote_cnt"] = vs, vc
+    return metrics, pred, pred_c
+
+
+def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True):
+    """Returns jitted step(state, metrics, batch) -> (state, metrics).
+
+    t0: absolute timestep of the dataset's first timeline slot
+    (dataset.timestep[0])."""
+
+    def step(state, metrics, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         d_rng, p_rng = jax.random.split(rng)
 
@@ -54,40 +127,29 @@ def make_train_step(model, cfg: Config, tx=None, donate: bool = True):
         (loss, (out, comps)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        metrics, _, _ = _accumulate(metrics, comps, out, batch, t0,
+                                    cfg.delta_t)
+        return new_state, metrics
 
-        pred = jax.nn.sigmoid(out.z)
-        pred_c = (pred > 0.5).astype(jnp.float32)  # thr 0.5, train_synthetic.py:211
-        target = batch["mask_extreme"][:, None]
-        logs = dict(comps)
-        logs["counts"] = extreme_counts(pred_c, target)
-        host = {"anomaly": out.anomaly, "timestep": batch["timestep"]}
-        return new_state, logs, host
-
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
-def make_eval_step(model, cfg: Config):
-    """Jitted eval step (reference validation loop, train_synthetic.py:235-282)."""
+def make_eval_step(model, cfg: Config, t0: float = 0.0,
+                   return_preds: bool = False):
+    """Jitted eval step(params, metrics, batch) -> metrics [, preds]
+    (reference validation loop, train_synthetic.py:235-282)."""
 
-    def step(params, batch):
+    def step(params, metrics, batch):
         out = model.apply({"params": params}, batch["x"], train=False)
-        # eval-time loss: quantizer aux is 0 in eval (reference LFQ returns
-        # dummy zero when not training, models/codebook/LFQ.py:264-266)
         loss, comps = losses.total_loss_synthetic(
             out, batch["mask_extreme"], batch["mask_extreme_loss"],
             cfg.lambda_anomaly,
         )
-        pred = jax.nn.sigmoid(out.z)
-        pred_c = (pred > 0.5).astype(jnp.float32)
-        target = batch["mask_extreme"][:, None]
-        logs = dict(comps)
-        logs["counts"] = extreme_counts(pred_c, target)
-        host = {
-            "anomaly": out.anomaly,
-            "timestep": batch["timestep"],
-            "pred": pred,
-            "pred_c": pred_c,
-        }
-        return logs, host
+        metrics, pred, pred_c = _accumulate(metrics, comps, out, batch, t0,
+                                            cfg.delta_t)
+        if return_preds:
+            return metrics, {"pred": pred, "pred_c": pred_c,
+                             "anomaly": out.anomaly}
+        return metrics
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(1,))

@@ -101,3 +101,31 @@ def test_evaluator_anomaly_synthetic():
         assert ev.FN[v] == fn
         np.testing.assert_allclose(
             ev.iou_pos[v], tp / np.sum((pred[:, v] == 1) | (gt[:, v] == 1)))
+
+
+def test_device_vote_scatter_matches_host_collector():
+    """steps._scatter_votes + majority_vote_from_device must equal the host
+    AnomalyCollector pipeline (reference semantics)."""
+    import jax.numpy as jnp
+
+    from idee_tpu.train.metrics import majority_vote_from_device
+    from idee_tpu.train.steps import _scatter_votes
+
+    rng = np.random.default_rng(3)
+    V, T, H, W, dt = 2, 12, 4, 4, 4
+    timestep = np.arange(1, T + 1, dtype=np.float32)
+
+    col = AnomalyCollector((V, T, H, W), timestep, dt)
+    vs = jnp.zeros((V, T, H, W), jnp.uint8)
+    vc = jnp.zeros((T,), jnp.int32)
+
+    for end in [4, 7, 7, 11]:  # absolute timesteps, some repeated
+        anom = (rng.random((1, V, dt, H, W)) < 0.5).astype(np.float32)
+        col(anom, np.array([[float(end)]]))
+        vs, vc = _scatter_votes(vs, vc, jnp.asarray(anom),
+                                jnp.array([end - 1], jnp.int32), dt)
+
+    col.majority_vote()
+    dev = majority_vote_from_device(np.asarray(vs), np.asarray(vc))
+    np.testing.assert_array_equal(np.nan_to_num(dev, nan=-1),
+                                  np.nan_to_num(col.anomaly, nan=-1))

@@ -7,7 +7,8 @@ import pytest
 
 from idee_tpu.models import build_model
 from idee_tpu.train.state import count_parameters, create_train_state
-from idee_tpu.train.steps import make_eval_step, make_train_step
+from idee_tpu.train.steps import (init_epoch_metrics, make_eval_step,
+                                  make_train_step)
 
 
 def _batch_from(ds, idxs):
@@ -53,17 +54,19 @@ def test_train_step_runs_and_loss_decreases(tiny_config, fake_cube):
     batch = _batch_from(ds, [0, 1])
     state = create_train_state(cfg, model, batch["x"],
                                steps_per_epoch=10)
-    step = make_train_step(model, cfg, donate=False)
+    step = make_train_step(model, cfg, t0=float(ds.timestep[0]), donate=False)
 
     losses = []
     for i in range(8):
-        state, logs, host = step(state, batch)
-        losses.append(float(logs["loss"]))
+        metrics = init_epoch_metrics(ds.anomaly.shape)
+        state, metrics = step(state, metrics, batch)
+        losses.append(float(metrics["loss_sums"]["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
-    assert host["anomaly"].shape == (2, 3, 8, 16, 16)
-    counts = logs["counts"]
-    assert int(counts["seen_all"]) == 2 * 16 * 16
+    assert metrics["vote_sum"].shape == ds.anomaly.shape
+    assert int(metrics["counts"]["seen_all"]) == 2 * 16 * 16
+    # both samples' windows scattered onto the timeline
+    assert int(np.asarray(metrics["vote_cnt"]).sum()) == 2 * 8
 
 
 def test_eval_step_deterministic(tiny_config, fake_cube):
@@ -78,11 +81,14 @@ def test_eval_step_deterministic(tiny_config, fake_cube):
     model = build_model(cfg)
     batch = _batch_from(ds, [0, 1])
     state = create_train_state(cfg, model, batch["x"])
-    estep = make_eval_step(model, cfg)
-    l1, h1 = estep(state.params, batch)
-    l2, h2 = estep(state.params, batch)
+    estep = make_eval_step(model, cfg, t0=float(ds.timestep[0]),
+                           return_preds=True)
+    m1 = init_epoch_metrics(ds.anomaly.shape)
+    m2 = init_epoch_metrics(ds.anomaly.shape)
+    m1, h1 = estep(state.params, m1, batch)
+    m2, h2 = estep(state.params, m2, batch)
     np.testing.assert_array_equal(np.asarray(h1["pred"]), np.asarray(h2["pred"]))
-    assert float(l1["loss_z_q"]) == 0.0  # eval: quantizer aux is zero
+    assert float(m1["loss_sums"]["loss_z_q"]) == 0.0  # eval: aux is zero
 
 
 def test_gradients_reach_all_params(tiny_config):

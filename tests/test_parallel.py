@@ -9,7 +9,9 @@ import pytest
 from idee_tpu.models import build_model
 from idee_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
 from idee_tpu.train.state import create_train_state
-from idee_tpu.train.steps import make_train_step
+from idee_tpu.train.steps import init_epoch_metrics, make_train_step
+
+ANOM_SHAPE = (3, 24, 16, 16)
 
 
 @pytest.fixture(scope="module")
@@ -29,7 +31,7 @@ def _make(cfg, batch_size):
             (rng.random((batch_size, 16, 16)) < 0.2), jnp.float32),
         "mask_extreme_loss": jnp.asarray(
             (rng.random((batch_size, 16, 16)) < 0.3), jnp.float32),
-        "timestep": jnp.zeros((batch_size, 1)),
+        "timestep": jnp.full((batch_size, 1), 8.0),
     }
     state = create_train_state(cfg, model, batch["x"], steps_per_epoch=10)
     return model, state, batch
@@ -39,20 +41,23 @@ def test_sharded_step_matches_single_device(tiny_config, mesh):
     cfg = tiny_config.replace(is_aug=False, en_drop_rate=0.0,
                               cls_drop_rate=0.0)
     model, state, batch = _make(cfg, batch_size=8)
-    step = make_train_step(model, cfg, donate=False)
+    step = make_train_step(model, cfg, t0=1.0, donate=False)
 
     # single device
-    s1, logs1, _ = step(state, batch)
+    s1, m1 = step(state, init_epoch_metrics(ANOM_SHAPE), batch)
 
     # sharded batch over the mesh, replicated params
     bshard = batch_sharding(mesh)
     rep = replicate_sharding(mesh)
     batch_sh = jax.tree.map(lambda a: jax.device_put(a, bshard), batch)
     state_sh = jax.device_put(state, rep)
-    s2, logs2, _ = step(state_sh, batch_sh)
+    metrics_sh = jax.device_put(init_epoch_metrics(ANOM_SHAPE), rep)
+    s2, m2 = step(state_sh, metrics_sh, batch_sh)
 
-    np.testing.assert_allclose(float(logs1["loss"]), float(logs2["loss"]),
-                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["loss_sums"]["loss"]),
+                               float(m2["loss_sums"]["loss"]), rtol=2e-4)
+    np.testing.assert_array_equal(np.asarray(m1["vote_cnt"]),
+                                  np.asarray(m2["vote_cnt"]))
     # params after one update must match (GSPMD grad reduction correct)
     l1 = jax.tree.leaves(s1.params)
     l2 = jax.tree.leaves(s2.params)
@@ -63,9 +68,11 @@ def test_sharded_step_matches_single_device(tiny_config, mesh):
 def test_counts_are_global(tiny_config, mesh):
     cfg = tiny_config
     model, state, batch = _make(cfg, batch_size=8)
-    step = make_train_step(model, cfg, donate=False)
+    step = make_train_step(model, cfg, t0=1.0, donate=False)
     batch_sh = jax.tree.map(
         lambda a: jax.device_put(a, batch_sharding(mesh)), batch)
-    state_sh = jax.device_put(state, replicate_sharding(mesh))
-    _, logs, _ = step(state_sh, batch_sh)
-    assert int(logs["counts"]["seen_all"]) == 8 * 16 * 16
+    rep = replicate_sharding(mesh)
+    state_sh = jax.device_put(state, rep)
+    metrics_sh = jax.device_put(init_epoch_metrics(ANOM_SHAPE), rep)
+    _, m = step(state_sh, metrics_sh, batch_sh)
+    assert int(m["counts"]["seen_all"]) == 8 * 16 * 16
