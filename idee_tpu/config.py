@@ -162,6 +162,10 @@ class Config:
     phase: str = "train"
 
     # --- TPU-native additions (not in the reference) ---
+    # override the full-grid geometry (H, W) of CERRA/ERA5-Land, e.g. for
+    # spatially subsetted mirrors of the data (the reference hard-codes
+    # 1069/CORDEX sizes)
+    grid_override: Optional[Tuple[int, int]] = None
     dtype: str = "float32"  # compute dtype for the backbone ("bfloat16" on TPU)
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])

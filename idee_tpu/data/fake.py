@@ -8,6 +8,7 @@ so driver-identification is learnable on tiny grids.
 """
 # ------------------------------------------------------------------
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -125,3 +126,99 @@ def write_fake_netcdf(root: str, cube: SyntheticCube) -> None:
             data=np.array([b"median", b"std"]))
         for i, v in enumerate(cube.variables):
             f[v] = np.stack([cube.clima_median[i], cube.clima_std[i]])
+
+
+def write_fake_reanalysis(root_main: str, root_noaa: str,
+                          variables: Optional[List[str]] = None,
+                          years=("1990", "1991"), height: int = 16,
+                          width: int = 16, era5_region: Optional[str] = None,
+                          seed: int = 0,
+                          missing_weeks=()) -> List[str]:
+    """Write a tiny CERRA/ERA5-Land-shaped directory tree via h5py for
+    tests: weekly files root/<year>/<year><www>.nc with a 'statistic'
+    (mean,std) axis, NOAA VCI/TCI/cold files, masks, statistics json and
+    weekly climatology (schema per reference dataset/CERRA_dataset.py).
+
+    missing_weeks: (year, week) pairs to omit from the NOAA tree (exercises
+    the missing-week fallback).
+    """
+    import json
+
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    variables = sorted(variables or ["t2m", "tp", "al"])
+
+    if era5_region:
+        root_main = os.path.join(root_main, era5_region)
+        root_noaa = os.path.join(root_noaa, era5_region)
+        prefix = era5_region + "_"
+        masks_name = era5_region + "_masks.nc"
+    else:
+        prefix = "CERRA_"
+        masks_name = "masks.nc"
+    os.makedirs(root_main, exist_ok=True)
+    os.makedirs(root_noaa, exist_ok=True)
+
+    written = []
+    for year in years:
+        os.makedirs(os.path.join(root_main, year), exist_ok=True)
+        os.makedirs(os.path.join(root_noaa, year), exist_ok=True)
+        for week in range(1, 53):
+            wnr = ("0" + str(week)) if week > 9 else ("00" + str(week))
+            main_path = os.path.join(root_main, year, f"{year}{wnr}.nc")
+            with h5py.File(main_path, "w") as f:
+                f["statistic"] = np.array([b"mean", b"std", b"min", b"max"])
+                for v in variables:
+                    f[v] = rng.normal(
+                        size=(4, height, width)).astype(np.float32)
+            written.append(main_path)
+            if (year, week) in set(missing_weeks):
+                continue
+            noaa_path = os.path.join(root_noaa, year,
+                                     f"{year}{wnr}_00.nc")
+            with h5py.File(noaa_path, "w") as f:
+                f["VCI"] = rng.uniform(0, 100, (height, width)).astype(
+                    np.float32)
+                f["TCI"] = rng.uniform(0, 100, (height, width)).astype(
+                    np.float32)
+                f["mask_cold_surface"] = (
+                    rng.random((height, width)) < 0.05).astype(np.float32)
+
+    stats = {k: {v: float(x) for v, x in
+                 zip(variables, rng.uniform(0.5, 2.0, len(variables)))}
+             for k in ("min", "max", "mean", "std")}
+    with open(os.path.join(root_main, prefix + "statistic_train.json"),
+              "w") as fh:
+        json.dump(stats, fh)
+
+    with h5py.File(os.path.join(root_main,
+                                prefix + "climatology_pixels_train.nc"),
+                   "w") as f:
+        f["climatology"] = np.array([b"mean", b"std"])
+        f["week"] = np.arange(1, 53, dtype=np.float64)
+        for v in variables:
+            data = rng.normal(size=(2, 2, 52, height, width)).astype(
+                np.float32)
+            data[1] = np.abs(data[1]) + 0.5  # std > 0
+            f[v] = data  # [climatology, statistic, week, y, x]
+
+    with h5py.File(os.path.join(root_noaa, masks_name), "w") as f:
+        f["mask_no_vegetation"] = (
+            rng.random((height, width)) < 0.1).astype(np.float32)
+        if era5_region:
+            f["lsm"] = rng.uniform(0, 1, (height, width)).astype(np.float32)
+
+    if not era5_region:
+        with h5py.File(os.path.join(root_main, "CERRA_static_variables.nc"),
+                       "w") as f:
+            f["lsm"] = (rng.random((height, width)) > 0.3).astype(np.float32)
+            f["orog"] = rng.normal(size=(height, width)).astype(np.float32)
+            f["latitude"] = np.tile(
+                np.linspace(30, 70, height)[:, None], (1, width)).astype(
+                np.float32)
+            f["longitude"] = np.tile(
+                np.linspace(-10, 40, width)[None], (height, 1)).astype(
+                np.float32)
+
+    return written

@@ -1,0 +1,205 @@
+# ------------------------------------------------------------------
+"""Training / testing drivers for the real-world CERRA and ERA5-Land
+pipelines.
+
+Parity targets: reference train_CERRA.py / train_ERA5_Land.py /
+test_CERRA.py / test_ERA5_Land.py. Same loop structure as driver.py but:
+2-class {normal, drought} evaluator over valid pixels, threshold 0.35, no
+driver GT (no anomaly collector -- the real world has no labeled drivers),
+best-F1 tracked on the drought class F1 (train_CERRA.py:303-305).
+"""
+# ------------------------------------------------------------------
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from idee_tpu.config import Config
+from idee_tpu.data.loader import DataLoader
+from idee_tpu.data.reanalysis import (ReanalysisDataset, cerra_spec,
+                                      era5_land_spec)
+from idee_tpu.models import build_model
+from idee_tpu.parallel.mesh import batch_sharding, make_mesh
+from idee_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
+from idee_tpu.train.metrics import Evaluator
+from idee_tpu.train.state import count_parameters, create_train_state
+from idee_tpu.train.steps_real import (init_epoch_metrics_real,
+                                       make_eval_step_real,
+                                       make_train_step_real)
+from idee_tpu.utils.logging import StepTimer, fix_seed, get_logger, log_string
+
+
+def make_reanalysis_dataset(cfg: Config, family: str, years, is_aug: bool,
+                            seed: Optional[int] = None) -> ReanalysisDataset:
+    if family == "CERRA":
+        spec = cerra_spec(cfg.delta_t)
+        root_main, root_noaa = cfg.root_CERRA, cfg.root_NOAA_CERRA
+    elif family == "ERA5_Land":
+        import os
+
+        spec = era5_land_spec(cfg.region, cfg.delta_t)
+        root_main = os.path.join(cfg.root_ERA5_Land, cfg.region)
+        root_noaa = os.path.join(cfg.root_NOAA, cfg.region)
+    else:
+        raise ValueError(family)
+    if cfg.grid_override:
+        spec.grid_height, spec.grid_width = cfg.grid_override
+    return ReanalysisDataset(
+        spec, root_main, root_noaa, nan_fill=cfg.nan_fill,
+        delta_t=cfg.delta_t, is_aug=is_aug, is_shuffle=cfg.is_shuffle,
+        is_clima_scale=cfg.is_clima_scale, is_norm=cfg.is_norm,
+        variables=list(cfg.variables),
+        variables_static=list(cfg.variables_static),
+        years=list(years), threshold=cfg.threshold, alpha=cfg.alpha,
+        window_size=cfg.window_size,
+        x_min=cfg.x_min, x_max=cfg.x_max, y_min=cfg.y_min, y_max=cfg.y_max,
+        seed=cfg.seed if seed is None else seed,
+    )
+
+
+def train_real(cfg: Config, family: str, mesh=None,
+               train_ds=None, val_ds=None) -> Dict:
+    logger = get_logger(cfg)
+    fix_seed(cfg.seed)
+
+    log_string(logger, f"loading {family} training dataset ...")
+    if train_ds is None:
+        train_ds = make_reanalysis_dataset(cfg, family, cfg.years_train,
+                                           cfg.is_aug)
+    if val_ds is None:
+        val_ds = make_reanalysis_dataset(cfg, family, cfg.years_val, False)
+    log_string(logger, "# training samples: %d" % len(train_ds))
+    log_string(logger, "# evaluation samples: %d" % len(val_ds))
+
+    if mesh is None and cfg.mesh_shape:
+        mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                              drop_last=True, seed=cfg.seed,
+                              sharding=sharding)
+    val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
+                            drop_last=True, seed=cfg.seed, sharding=sharding)
+
+    log_string(logger, "\nloading the model ...")
+    model = build_model(cfg)
+    sample_x = train_ds[0]["x"][None].repeat(cfg.batch_size, 0)
+    state = create_train_state(cfg, model, sample_x,
+                               rng=jax.random.PRNGKey(cfg.seed),
+                               steps_per_epoch=len(train_loader))
+    log_string(logger, "all parameters: %d\n" % count_parameters(state.params))
+
+    if cfg.en_de_pretrained:
+        log_string(logger, f"initialize weights from {cfg.en_de_pretrained} ...")
+        state = state.replace(
+            params=load_pretrained_params(cfg.en_de_pretrained, state.params))
+
+    ckpt = CheckpointManager(cfg.log_dir)
+    start_epoch = 0
+    restored = ckpt.restore("latest", state) if ckpt.has("latest") else None
+    if restored is not None:
+        state = restored["state"]
+        start_epoch = int(restored["meta"]["epoch"]) + 1
+        log_string(logger, f"auto-resumed from epoch {start_epoch}")
+
+    train_step = make_train_step_real(model, cfg)
+    eval_step = make_eval_step_real(model, cfg)
+
+    eval_train = Evaluator(logger, "Training", cfg)
+    eval_val = Evaluator(logger, "Validation", cfg)
+
+    best_loss_train, best_loss_val, best_f1_val = np.inf, np.inf, 0.0
+    history = {"train_loss": [], "val_loss": [], "train_f1": [],
+               "val_f1": [], "steps_per_sec": []}
+
+    for epoch in range(start_epoch, cfg.n_epochs):
+        log_string(logger, "################# Epoch (%s/%s) #################"
+                   % (epoch + 1, cfg.n_epochs))
+        timer = StepTimer()
+
+        metrics = init_epoch_metrics_real()
+        for batch in train_loader:
+            state, metrics = train_step(state, metrics, batch)
+            timer.tick()
+        m = jax.device_get(metrics)
+        eval_train.update_counts(m["counts"])
+        mean_loss_train = (float(m["loss_sums"]["loss"])
+                           / max(int(m["n_steps"]), 1))
+        eval_train.get_results(mean_loss_train, best_loss_train)
+        best_loss_train = min(best_loss_train, mean_loss_train)
+
+        metrics = init_epoch_metrics_real()
+        for batch in val_loader:
+            metrics = eval_step(state.params, metrics, batch)
+        m = jax.device_get(metrics)
+        eval_val.update_counts(m["counts"])
+        mean_loss_val = (float(m["loss_sums"]["loss"])
+                         / max(int(m["n_steps"]), 1))
+        eval_val.get_results(mean_loss_val, best_loss_val)
+
+        if mean_loss_val <= best_loss_val:
+            best_loss_val = mean_loss_val
+            ckpt.save("best_loss_model", state, epoch, mean_loss_train,
+                      mean_loss_val)
+        # best F1 on the drought class (train_CERRA.py:303-305)
+        f1_val = float(eval_val.F1[1]) if np.isfinite(eval_val.F1[1]) else 0.0
+        if f1_val >= best_f1_val:
+            best_f1_val = f1_val
+            ckpt.save("best_F1_model", state, epoch, mean_loss_train,
+                      mean_loss_val)
+        ckpt.save("latest", state, epoch, mean_loss_train, mean_loss_val)
+
+        history["train_loss"].append(mean_loss_train)
+        history["val_loss"].append(mean_loss_val)
+        history["train_f1"].append(float(eval_train.F1[1]))
+        history["val_f1"].append(f1_val)
+        history["steps_per_sec"].append(timer.steps_per_sec)
+        log_string(logger, "steps/sec: %.3f" % timer.steps_per_sec)
+
+        eval_train.reset()
+        eval_val.reset()
+
+    history["state"] = state
+    return history
+
+
+def test_real(cfg: Config, family: str, params=None, test_ds=None) -> Dict:
+    """Test protocol (reference: test_CERRA.py:95-127): valid mask excludes
+    sea + cold surface + no-vegetation; threshold 0.35."""
+    logger = get_logger(cfg)
+    fix_seed(cfg.seed)
+
+    if test_ds is None:
+        test_ds = make_reanalysis_dataset(cfg, family, cfg.years_test, False)
+    log_string(logger, "# testing samples: %d" % len(test_ds))
+
+    model = build_model(cfg)
+    if params is None:
+        sample_x = test_ds[0]["x"][None].repeat(cfg.batch_size, 0)
+        state = create_train_state(cfg, model, sample_x)
+        params = state.params
+        if cfg.en_de_pretrained:
+            params = load_pretrained_params(cfg.en_de_pretrained, params)
+        else:
+            log_string(logger, "WARNING: evaluating a random initialization "
+                               "(en_de_pretrained unset)")
+
+    loader = DataLoader(test_ds, cfg.batch_size, shuffle=False,
+                        drop_last=True, seed=cfg.seed)
+    eval_step = make_eval_step_real(model, cfg, test_mode=True)
+    evaluator = Evaluator(logger, "Testing", cfg)
+
+    metrics = init_epoch_metrics_real()
+    for batch in loader:
+        metrics = eval_step(params, metrics, batch)
+    m = jax.device_get(metrics)
+    evaluator.update_counts(m["counts"])
+    evaluator.get_results(0, 0)
+
+    return {
+        "drought_f1": float(evaluator.F1[1]),
+        "drought_iou": float(evaluator.iou[1]),
+        "mean_f1": float(np.nanmean(evaluator.F1)),
+        "mean_iou": float(np.nanmean(evaluator.iou)),
+    }

@@ -1,0 +1,200 @@
+"""CERRA / ERA5-Land pipeline: week indexing with rollover + fallback,
+VHI label engine, normalization channels, end-to-end real-world train step."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("h5py")
+
+from idee_tpu.data.fake import write_fake_reanalysis
+from idee_tpu.data.reanalysis import (ReanalysisDataset, build_week_index,
+                                      cerra_spec, era5_land_spec)
+
+
+@pytest.fixture(scope="module")
+def cerra_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cerra")
+    main, noaa = str(root / "CERRA"), str(root / "NOAA")
+    write_fake_reanalysis(main, noaa, years=("1990", "1991"), height=16,
+                          width=16, missing_weeks=(("1991", 5),))
+    return main, noaa
+
+
+def _ds(main, noaa, **kw):
+    spec = cerra_spec(kw.get("delta_t", 4))
+    # tiny fixture grid: override geometry
+    spec.grid_height = 16
+    spec.grid_width = 16
+    defaults = dict(
+        spec=spec, root_main=main, root_noaa=noaa, delta_t=4,
+        variables=["t2m", "tp", "al"], variables_static=[],
+        years=["1991"], is_aug=False, is_norm=False,
+        x_min=0, x_max=16, y_min=0, y_max=16,
+    )
+    defaults.update(kw)
+    return ReanalysisDataset(**defaults)
+
+
+def test_week_index_rollover(cerra_tree):
+    main, noaa = cerra_tree
+    idx = build_week_index(main, noaa, ["1991"], delta_t=4,
+                           skip_rules={})
+    # first target week of 1991 is week 1; its window must roll into 1990
+    files_main, files_noaa, weeks = idx[0]
+    assert weeks.tolist() == [1.0, 52.0, 51.0, 50.0]
+    assert os.sep + "1991" + os.sep in files_main[0]
+    assert all(os.sep + "1990" + os.sep in f for f in files_main[1:])
+    assert len(idx) == 51  # 52 minus the missing NOAA week 5
+
+
+def test_week_index_missing_week_fallback(cerra_tree):
+    """1991 week 5 has no NOAA file: (a) no sample targets week 5,
+    (b) windows crossing week 5 fall back to the previous entry's files
+    (reference: CERRA_dataset.py:255-256)."""
+    main, noaa = cerra_tree
+    idx = build_week_index(main, noaa, ["1991"], delta_t=4, skip_rules={})
+    weeks_targets = [w[2][0] for w in idx]
+    assert 5.0 not in weeks_targets
+    assert len(idx) == 51
+    # the week-6 window covers weeks 6,5,4,3; week 5's NOAA entry must be a
+    # fallback copy of an adjacent week's file list
+    sample = next(w for w in idx if w[2][0] == 6.0)
+    files_noaa = sample[1]
+    assert files_noaa[1] == files_noaa[0]  # fell back to week 6's files
+    # CERRA (non-NOAA) file for week 5 is still the real week-5 file
+    assert "1991005.nc" in sample[0][1]
+
+
+def test_skip_rules(cerra_tree):
+    main, noaa = cerra_tree
+    idx = build_week_index(main, noaa, ["1990", "1991"], delta_t=4,
+                           skip_rules={1990: (40, 52), 1991: (1, 17)})
+    targets = [(f[2][0], os.path.basename(os.path.dirname(f[0][0])))
+               for f in idx]
+    for week, year in targets:
+        if year == "1990":
+            assert week >= 40
+        else:
+            assert week <= 17
+
+
+def test_item_shapes_and_channels(cerra_tree):
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa)
+    it = ds[10]
+    assert it["x"].shape == (3, 2, 4, 16, 16)
+    for k in ("mask_extreme", "mask_extreme_loss", "mask_cold_surface",
+              "mask_cold_surface_loss", "mask_sea", "mask_no_vegetation"):
+        assert it[k].shape == (16, 16), k
+    assert set(np.unique(it["mask_extreme"])) <= {0.0, 1.0}
+
+
+def test_vhi_label_engine(cerra_tree):
+    """Drought = alpha*VCI+(1-alpha)*TCI < thr, y-flipped, minus
+    cold/noveg/water (reference: CERRA_dataset.py:452-518)."""
+    import h5py
+
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa, alpha=0.5, threshold=26.0)
+    files_main, files_noaa, weeks = ds.files[10]
+    with h5py.File(files_noaa[0][0], "r") as f:
+        vci, tci = f["VCI"][()], f["TCI"][()]
+        cold = f["mask_cold_surface"][()]
+    vhi = 0.5 * vci + 0.5 * tci
+    expected = (np.flip(vhi, 0) < 26.0).astype(np.float32)
+    cold_f = np.flip(cold, 0)
+    expected[cold_f == 1] = 0
+    expected[ds.mask_no_vegetation == 1] = 0
+    expected[ds.mask_water == 1] = 0
+    got, got_cold = ds.generate_mask(files_noaa[0], thr=26.0)
+    np.testing.assert_array_equal(got, expected)
+    np.testing.assert_array_equal(got_cold, cold_f)
+
+
+def test_global_normalization_channels(cerra_tree):
+    """mean channel: (x - mean)/std; std channel: x/std
+    (reference: CERRA_dataset.py:618-620)."""
+    main, noaa = cerra_tree
+    raw = _ds(main, noaa, is_norm=False)[10]["x"]
+    ds = _ds(main, noaa, is_norm=True, is_clima_scale=False)
+    it = ds[10]
+    m, s = ds._mean_var, ds._std_var
+    exp0 = np.clip((raw[:, 0] - m[:, None, None, None])
+                   / s[:, None, None, None], -10, 10)
+    exp1 = np.clip(raw[:, 1] / s[:, None, None, None], -10, 10)
+    np.testing.assert_allclose(it["x"][:, 0], exp0, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(it["x"][:, 1], exp1, rtol=1e-3, atol=1e-6)
+
+
+def test_climatology_normalization(cerra_tree):
+    main, noaa = cerra_tree
+    raw = _ds(main, noaa, is_norm=False)[10]["x"]
+    ds = _ds(main, noaa, is_norm=True, is_clima_scale=True)
+    it = ds[10]
+    weeks = ds.files[10][2]
+    wk = [int(w) - 1 for w in weeks]
+    mean = np.flip(ds._clima_mean[:, :, wk], -2)
+    std = np.flip(ds._clima_std[:, :, wk], -2)
+    exp = np.clip((raw - mean) / std, -10, 10)
+    exp[np.isnan(exp)] = 0.0
+    np.testing.assert_allclose(it["x"], exp, rtol=1e-4, atol=1e-5)
+
+
+def test_cold_loss_excludes_target_step(cerra_tree):
+    """mask_cold_surface_loss sums steps 1..delta_t-1 only
+    (reference: CERRA_dataset.py:594-595)."""
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa)
+    it = ds[10]
+    files_main, files_noaa, _ = ds.files[10]
+    colds = [ds.generate_mask(files_noaa[d], 35)[1] for d in range(4)]
+    expected = np.clip(np.stack(colds[1:]).sum(0), 0, 1)
+    np.testing.assert_array_equal(it["mask_cold_surface_loss"], expected)
+
+
+def test_era5_land_tree(tmp_path):
+    from idee_tpu.config import CORDEX_REGIONS
+
+    main, noaa = str(tmp_path / "ERA5"), str(tmp_path / "NOAA")
+    write_fake_reanalysis(main, noaa, years=("1999", "2000"), height=16,
+                          width=16, era5_region="EUR-11")
+    spec = era5_land_spec("EUR-11", 4)
+    spec.grid_height = 16
+    spec.grid_width = 16
+    ds = ReanalysisDataset(
+        spec, os.path.join(main, "EUR-11"), os.path.join(noaa, "EUR-11"),
+        delta_t=4, variables=["t2m", "tp", "al"], years=["2000"],
+        is_norm=True, is_clima_scale=False,
+        x_min=0, x_max=16, y_min=0, y_max=16)
+    it = ds[5]
+    assert it["x"].shape == (3, 2, 4, 16, 16)
+    # ERA5 water mask = 1 - lsm (continuous lsm, no binarize before invert)
+    assert ds.mask_water.min() >= 0.0 and ds.mask_water.max() <= 1.0
+
+
+def test_real_train_step(cerra_tree, tiny_config):
+    """End-to-end: real-world batch through the jitted train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from idee_tpu.data.loader import collate
+    from idee_tpu.models import build_model
+    from idee_tpu.train.state import create_train_state
+    from idee_tpu.train.steps_real import (init_epoch_metrics_real,
+                                           make_train_step_real)
+
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa, is_norm=True, is_clima_scale=False, delta_t=8)
+    cfg = tiny_config.replace(in_channels=2, delta_t=8, threshold=26.0)
+    model = build_model(cfg)
+    batch = jax.tree.map(jnp.asarray, collate([ds[0], ds[1]]))
+    state = create_train_state(cfg, model, batch["x"], steps_per_epoch=5)
+    step = make_train_step_real(model, cfg, donate=False)
+    metrics = init_epoch_metrics_real()
+    state, metrics = step(state, metrics, batch)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss_sums"]["loss"])
+    assert int(m["counts"]["seen_all"]) <= 2 * 16 * 16
+    assert int(m["counts"]["seen"].sum()) == int(m["counts"]["seen_all"])
