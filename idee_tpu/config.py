@@ -170,6 +170,10 @@ class Config:
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     log_every: int = 50
+    # mesh axis name for VQ-EMA codebook psum sync (the TPU equivalent of the
+    # reference's NCCL all_reduce in VQ.py:534-539); set to the data axis when
+    # training under shard_map
+    codebook_sync_axis: Optional[str] = None
     ckpt_keep: int = 3
     profile_dir: Optional[str] = None  # enable jax.profiler traces when set
     debug_nans: bool = False

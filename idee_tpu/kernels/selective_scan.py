@@ -1,0 +1,150 @@
+# ------------------------------------------------------------------
+"""Fused linear-recurrence (selective-scan) Pallas kernel.
+
+This is the TPU-native equivalent of the mamba-ssm CUDA selective-scan
+kernel, the reference's only custom-CUDA dependency (imported at
+models/encoder/Mamba.py:23, used per window at :159; SURVEY.md 2.9 N1).
+
+The scan computes, along the token axis,
+
+    h_t = a_t * h_{t-1} + b_t          (a = exp(delta*A), b = delta*B*u)
+
+XLA lowers ``associative_scan`` to log2(L) combine sweeps, each reading and
+writing two full [L, M]-sized temporaries => ~2*log2(L) HBM passes. The
+Pallas kernel runs the recurrence sequentially in time with the state held
+in registers/VMEM: ONE read of (a, b) and one write of h. Windows here are
+tiny (L <= 32 tokens) and the "batch" axis M = windows * d_inner * d_state
+is huge, so the sequential-in-L / parallel-in-M shape fits the VPU exactly.
+
+Layout: inputs are reshaped to [L, G, 8, 128] (f32 vreg = 8 sublanes x 128
+lanes); the grid tiles G, and each step t touches exactly one vreg-shaped
+[8, 128] slab per buffer => full VPU lane utilization.
+
+The backward pass is the same recurrence run in reverse time
+(G_t = g_t + a_{t+1} G_{t+1}), wired via custom_vjp so the kernel trains.
+
+Off-TPU (CPU tests) the public entry point falls back to
+``jax.lax.associative_scan`` -- numerically identical (same combine), used
+as the golden reference in tests.
+"""
+# ------------------------------------------------------------------
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# vreg shape for f32
+_SUB, _LANE = 8, 128
+_TILE = _SUB * _LANE  # 1024 elements of M per grid step
+
+
+def _scan_xla(a, b):
+    """Reference path: parallel prefix scan along axis 0 (same math as the
+    reference's sequential CUDA scan)."""
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_l * a_r, a_r * b_l + b_r
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=0)
+    return h
+
+
+def _scan_kernel(a_ref, b_ref, h_ref):
+    """a/b/h blocks: [L, 1, 8, 128]."""
+    L = a_ref.shape[0]
+
+    def body(t, h):
+        h = a_ref[t, 0] * h + b_ref[t, 0]
+        h_ref[t, 0] = h
+        return h
+
+    jax.lax.fori_loop(0, L, body, jnp.zeros((_SUB, _LANE), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_pallas_2d(a, b, interpret=False):
+    """a, b: [L, M] float32, M % 1024 == 0."""
+    L, M = a.shape
+    G = M // _TILE
+    a4 = a.reshape(L, G, _SUB, _LANE)
+    b4 = b.reshape(L, G, _SUB, _LANE)
+    spec = pl.BlockSpec((L, 1, _SUB, _LANE), lambda j: (0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    h = pl.pallas_call(
+        _scan_kernel,
+        grid=(G,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * M, bytes_accessed=3 * L * M * 4, transcendentals=0),
+        interpret=interpret,
+    )(a4, b4)
+    return h.reshape(L, M)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _scan_front(a, b):
+    """Dispatch on [L, M] front-axis layout."""
+    if not _use_pallas():
+        return _scan_xla(a, b)
+    L, M = a.shape
+    pad = (-M) % _TILE
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+    h = _scan_pallas_2d(a, b)
+    return h[:, :M] if pad else h
+
+
+@jax.custom_vjp
+def _linear_scan_2d(a, b):
+    return _scan_front(a, b)
+
+
+def _fwd(a, b):
+    h = _scan_front(a, b)
+    return h, (a, h)
+
+
+def _bwd(res, g):
+    a, h = res
+    # G_t = g_t + a_{t+1} G_{t+1}: same recurrence, reversed time, with the
+    # coefficient shifted one step left (last coefficient 0)
+    a_shift = jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+    G = jnp.flip(_scan_front(jnp.flip(a_shift, 0), jnp.flip(g, 0)), 0)
+    h_prev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    return G * h_prev, G
+
+
+_linear_scan_2d.defvjp(_fwd, _bwd)
+
+
+def linear_scan(a, b, axis: int):
+    """h_t = a_t * h_{t-1} + b_t along ``axis`` (h_{-1} = 0).
+
+    Differentiable; fp32 compute. Pallas on TPU, associative_scan elsewhere.
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    axis = axis % a.ndim
+    moved = axis != 0
+    if moved:
+        a = jnp.moveaxis(a, axis, 0)
+        b = jnp.moveaxis(b, axis, 0)
+    shape = a.shape
+    L = shape[0]
+    M = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    h = _linear_scan_2d(a.reshape(L, M), b.reshape(L, M)).reshape(shape)
+    if moved:
+        h = jnp.moveaxis(h, 0, axis)
+    return h

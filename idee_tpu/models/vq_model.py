@@ -46,6 +46,49 @@ def _load_encoders():
         pass
 
 
+def build_quantizer(cfg: Config):
+    """Construct the configured codebook (reference hard-codes 'LFQ' with a
+    TODO, models/build.py:86-91; here all five variants are selectable via
+    cfg.codebook through the registry)."""
+    from idee_tpu.quant import get_quantizer
+
+    cls = get_quantizer(cfg.codebook)
+    name = cfg.codebook
+    if name == "LFQ":
+        return cls(
+            dim=cfg.codebook_dim,
+            codebook_size=cfg.codebook_size,
+            entropy_loss_weight=cfg.lambda_entropy,
+            diversity_gamma=cfg.diversity_gamma,
+            commitment_loss_weight=cfg.lambda_commitment,
+        )
+    if name == "VQ":
+        return cls(
+            dim=cfg.codebook_dim,
+            codebook_size=cfg.codebook_size,
+            codebook_dim=cfg.codebook_dim,
+            commitment_weight=cfg.lambda_commitment,
+            orthogonal_reg_weight=cfg.lambda_ortho,
+            sync_axis=cfg.codebook_sync_axis,
+        )
+    if name == "FSQ":
+        return cls(dim=cfg.codebook_dim, levels=(cfg.codebook_size,))
+    if name == "LatentQuantize":
+        return cls(
+            dim=cfg.codebook_dim,
+            levels=(cfg.codebook_size,),
+            commitment_loss_weight=cfg.lambda_commitment,
+        )
+    if name == "Random_VQ":
+        return cls(
+            dim=cfg.codebook_dim,
+            codebook_size=cfg.codebook_size,
+            codebook_dim=cfg.codebook_dim,
+            sync_axis=cfg.codebook_sync_axis,
+        )
+    return cls(dim=cfg.codebook_dim, codebook_size=cfg.codebook_size)
+
+
 class VQOutput(NamedTuple):
     z: jnp.ndarray
     y: jnp.ndarray
@@ -133,13 +176,7 @@ class VQModel(nn.Module):
             kernel_init=init,
             dtype=dtype,
         )
-        self.vq = LFQ(
-            dim=cfg.codebook_dim,
-            codebook_size=cfg.codebook_size,
-            entropy_loss_weight=cfg.lambda_entropy,
-            diversity_gamma=cfg.diversity_gamma,
-            commitment_loss_weight=cfg.lambda_commitment,
-        )
+        self.vq = build_quantizer(cfg)
 
     def normal_code(self):
         """vq.indices_to_codes(0): the feature-space 'normal' code vector."""

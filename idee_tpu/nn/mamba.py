@@ -38,20 +38,21 @@ from idee_tpu.nn.swin3d import (PatchEmbed3D, get_window_size,
 
 
 def selective_scan(u, delta, A, B, C, D, z):
-    """Parallel selective scan.
+    """Fused selective scan.
 
     u, delta, z: [B, L, d]; A: [d, n]; B, C: [B, L, n]; D: [d]
     h_t = exp(delta_t A) h_{t-1} + delta_t B_t u_t;  y_t = C_t . h_t + D u_t
+
+    The recurrence runs through the Pallas linear-scan kernel on TPU
+    (kernels/selective_scan.py -- the mamba-ssm CUDA kernel equivalent);
+    the surrounding elementwise math stays in XLA, which fuses it into the
+    kernel's producers/consumers.
     """
+    from idee_tpu.kernels.selective_scan import linear_scan
+
     dA = jnp.exp(delta[..., None] * A)                       # [B, L, d, n]
     dBu = (delta * u)[..., None] * B[:, :, None, :]          # [B, L, d, n]
-
-    def combine(left, right):
-        a_l, b_l = left
-        a_r, b_r = right
-        return a_l * a_r, a_r * b_l + b_r
-
-    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1)
+    h = linear_scan(dA, dBu, axis=1)
     y = jnp.einsum("bldn,bln->bld", h, C) + u * D
     return y * jax.nn.silu(z)
 

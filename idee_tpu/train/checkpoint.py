@@ -33,12 +33,21 @@ class CheckpointManager:
     def _path(self, alias: str) -> str:
         return os.path.join(self.directory, alias)
 
+    @staticmethod
+    def _normalize(state):
+        """Empty extra_vars ({}) -> None: orbax drops empty subtrees on
+        save, so a {} in the restore target would mismatch the on-disk
+        structure. None is an empty pytree on both sides."""
+        if hasattr(state, "extra_vars") and not state.extra_vars:
+            return state.replace(extra_vars=None)
+        return state
+
     def save(self, alias: str, state, epoch: int,
              mean_loss_train: float = float("nan"),
              mean_loss_val: float = float("nan")) -> None:
         assert alias in self.ALIASES, alias
         payload = {
-            "state": jax.device_get(state),
+            "state": jax.device_get(self._normalize(state)),
             "meta": {
                 "epoch": np.asarray(epoch),
                 "mean_loss_train": np.asarray(mean_loss_train),
@@ -53,6 +62,7 @@ class CheckpointManager:
         path = self._path(alias)
         if not os.path.exists(path):
             return None
+        target_state = self._normalize(target_state)
         payload = {
             "state": target_state,
             "meta": {
@@ -61,7 +71,14 @@ class CheckpointManager:
                 "mean_loss_validation": np.asarray(np.nan),
             },
         }
-        return self._ckptr.restore(path, payload)
+        try:
+            restored = self._ckptr.restore(path, payload)
+        except ValueError as e:
+            # structure drift (e.g. checkpoint from an older model config):
+            # auto-resume must not brick training -- start fresh
+            print(f"WARNING: could not restore checkpoint {path}: {e}")
+            return None
+        return restored
 
     def restore_params(self, alias_or_path: str, target_params):
         """Load params only (the reference's en_de_pretrained path,

@@ -30,7 +30,8 @@ from idee_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
 from idee_tpu.train.metrics import (EvaluatorAnomalySynthetic,
                                     EvaluatorSynthetic,
                                     majority_vote_from_device)
-from idee_tpu.train.state import count_parameters, create_train_state
+from idee_tpu.train.state import (count_parameters, create_train_state,
+                                  model_variables)
 from idee_tpu.train.steps import (init_epoch_metrics, make_eval_step,
                                   make_train_step)
 from idee_tpu.utils.logging import StepTimer, fix_seed, get_logger, log_string
@@ -156,7 +157,7 @@ def train_synthetic(cfg: Config,
         # -- validation --
         metrics = init_epoch_metrics(val_ds.anomaly.shape)
         for batch in val_loader:
-            metrics = eval_step(state.params, metrics, batch)
+            metrics = eval_step(model_variables(state), metrics, batch)
         m = jax.device_get(metrics)
         mean_loss_val = _epoch_results(m, eval_val, eval_val_anom,
                                        val_ds.anomaly)

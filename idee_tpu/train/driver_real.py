@@ -23,7 +23,8 @@ from idee_tpu.models import build_model
 from idee_tpu.parallel.mesh import batch_sharding, make_mesh
 from idee_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
 from idee_tpu.train.metrics import Evaluator
-from idee_tpu.train.state import count_parameters, create_train_state
+from idee_tpu.train.state import (count_parameters, create_train_state,
+                                  model_variables)
 from idee_tpu.train.steps_real import (init_epoch_metrics_real,
                                        make_eval_step_real,
                                        make_train_step_real)
@@ -131,7 +132,7 @@ def train_real(cfg: Config, family: str, mesh=None,
 
         metrics = init_epoch_metrics_real()
         for batch in val_loader:
-            metrics = eval_step(state.params, metrics, batch)
+            metrics = eval_step(model_variables(state), metrics, batch)
         m = jax.device_get(metrics)
         eval_val.update_counts(m["counts"])
         mean_loss_val = (float(m["loss_sums"]["loss"])
@@ -178,9 +179,9 @@ def test_real(cfg: Config, family: str, params=None, test_ds=None) -> Dict:
     if params is None:
         sample_x = test_ds[0]["x"][None].repeat(cfg.batch_size, 0)
         state = create_train_state(cfg, model, sample_x)
-        params = state.params
         if cfg.en_de_pretrained:
-            params = load_pretrained_params(cfg.en_de_pretrained, params)
+            state = state.replace(params=load_pretrained_params(
+                cfg.en_de_pretrained, state.params))
         else:
             log_string(logger, "WARNING: evaluating a random initialization "
                                "(en_de_pretrained unset)")
@@ -190,9 +191,10 @@ def test_real(cfg: Config, family: str, params=None, test_ds=None) -> Dict:
     eval_step = make_eval_step_real(model, cfg, test_mode=True)
     evaluator = Evaluator(logger, "Testing", cfg)
 
+    variables = params if params is not None else model_variables(state)
     metrics = init_epoch_metrics_real()
     for batch in loader:
-        metrics = eval_step(params, metrics, batch)
+        metrics = eval_step(variables, metrics, batch)
     m = jax.device_get(metrics)
     evaluator.update_counts(m["counts"])
     evaluator.get_results(0, 0)

@@ -20,7 +20,7 @@ from idee_tpu.train.checkpoint import load_pretrained_params
 from idee_tpu.train.metrics import (EvaluatorAnomalySynthetic,
                                     EvaluatorSynthetic,
                                     majority_vote_from_device)
-from idee_tpu.train.state import create_train_state
+from idee_tpu.train.state import create_train_state, model_variables
 from idee_tpu.train.steps import init_epoch_metrics, make_eval_step
 from idee_tpu.utils.logging import fix_seed, get_logger, log_string
 
@@ -46,9 +46,9 @@ def test_synthetic(cfg: Config, cube: Optional[SyntheticCube] = None,
     if params is None:
         sample_x = ds[0]["x"][None].repeat(cfg.batch_size, 0)
         state = create_train_state(cfg, model, sample_x)
-        params = state.params
         if cfg.en_de_pretrained:
-            params = load_pretrained_params(cfg.en_de_pretrained, params)
+            state = state.replace(params=load_pretrained_params(
+                cfg.en_de_pretrained, state.params))
         else:
             log_string(logger, "WARNING: no pretrained model "
                                 "(en_de_pretrained unset); evaluating a "
@@ -61,9 +61,10 @@ def test_synthetic(cfg: Config, cube: Optional[SyntheticCube] = None,
     evaluator = EvaluatorSynthetic(logger, "Testing")
     eval_anom = EvaluatorAnomalySynthetic(logger, "Testing", cfg.variables)
 
+    variables = params if params is not None else model_variables(state)
     metrics = init_epoch_metrics(ds.anomaly.shape)
     for batch in loader:
-        metrics = eval_step(params, metrics, batch)
+        metrics = eval_step(variables, metrics, batch)
     m = jax.device_get(metrics)
 
     evaluator.update_counts(m["counts"])

@@ -20,9 +20,15 @@ from idee_tpu.train.schedule import make_epoch_schedule
 
 
 class TrainState(train_state.TrainState):
-    """apply_fn/params/tx/opt_state/step; rng for dropout/droppath."""
+    """apply_fn/params/tx/opt_state/step; rng for dropout/droppath.
+
+    extra_vars holds non-trainable variable collections -- notably the VQ
+    "codebook" collection (EMA embed/cluster stats, frozen random
+    projections). Empty dict for the default LFQ path.
+    """
 
     rng: Any = None
+    extra_vars: Any = None
 
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -61,9 +67,17 @@ def create_train_state(cfg: Config, model, sample_x, rng=None,
         jnp.asarray(sample_x),
     )
     tx = make_optimizer(cfg, steps_per_epoch)
+    extra = {k: v for k, v in variables.items() if k != "params"}
     return TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx, rng=s_rng
+        apply_fn=model.apply, params=variables["params"], tx=tx, rng=s_rng,
+        extra_vars=extra,
     )
+
+
+def model_variables(state) -> dict:
+    """Full variables dict ({"params", ...extra collections}) for apply."""
+    extra = getattr(state, "extra_vars", None) or {}
+    return {"params": state.params, **extra}
 
 
 def count_parameters(params) -> int:

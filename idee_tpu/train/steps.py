@@ -111,22 +111,33 @@ def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True):
 
     def step(state, metrics, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        d_rng, p_rng = jax.random.split(rng)
+        d_rng, p_rng, c_rng = jax.random.split(rng, 3)
+        extra = state.extra_vars or {}
+        # stateful quantizers (VQ-EMA, Random_VQ) thread their "codebook"
+        # collection through the step (the functional analogue of the
+        # reference's in-place buffer updates, VQ.py:524-548)
+        has_cb = "codebook" in extra
 
         def loss_fn(params):
-            out = model.apply(
-                {"params": params}, batch["x"], train=True,
-                rngs={"dropout": d_rng, "droppath": p_rng},
-            )
+            variables = {"params": params, **extra}
+            rngs = {"dropout": d_rng, "droppath": p_rng, "codebook": c_rng}
+            if has_cb:
+                out, updated = model.apply(variables, batch["x"], train=True,
+                                           rngs=rngs, mutable=["codebook"])
+            else:
+                out = model.apply(variables, batch["x"], train=True, rngs=rngs)
+                updated = {}
             loss, comps = losses.total_loss_synthetic(
                 out, batch["mask_extreme"], batch["mask_extreme_loss"],
                 cfg.lambda_anomaly,
             )
-            return loss, (out, comps)
+            return loss, (out, comps, updated)
 
-        (loss, (out, comps)), grads = jax.value_and_grad(
+        (loss, (out, comps, updated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        if has_cb:
+            new_state = new_state.replace(extra_vars={**extra, **updated})
         metrics, _, _ = _accumulate(metrics, comps, out, batch, t0,
                                     cfg.delta_t)
         return new_state, metrics
@@ -140,7 +151,11 @@ def make_eval_step(model, cfg: Config, t0: float = 0.0,
     (reference validation loop, train_synthetic.py:235-282)."""
 
     def step(params, metrics, batch):
-        out = model.apply({"params": params}, batch["x"], train=False)
+        # accepts either bare params or a full variables dict (with extra
+        # collections such as "codebook"); the check is on the static pytree
+        # structure, so it resolves at trace time
+        variables = params if "params" in params else {"params": params}
+        out = model.apply(variables, batch["x"], train=False)
         loss, comps = losses.total_loss_synthetic(
             out, batch["mask_extreme"], batch["mask_extreme_loss"],
             cfg.lambda_anomaly,

@@ -96,18 +96,28 @@ def _accumulate_real(metrics, comps, out, batch, mask_valid,
 def make_train_step_real(model, cfg: Config, donate: bool = True):
     def step(state, metrics, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        d_rng, p_rng = jax.random.split(rng)
+        d_rng, p_rng, c_rng = jax.random.split(rng, 3)
+        extra = state.extra_vars or {}
+        has_cb = "codebook" in extra
 
         def loss_fn(params):
-            out = model.apply({"params": params}, batch["x"], train=True,
-                              rngs={"dropout": d_rng, "droppath": p_rng})
+            variables = {"params": params, **extra}
+            rngs = {"dropout": d_rng, "droppath": p_rng, "codebook": c_rng}
+            if has_cb:
+                out, updated = model.apply(variables, batch["x"], train=True,
+                                           rngs=rngs, mutable=["codebook"])
+            else:
+                out = model.apply(variables, batch["x"], train=True, rngs=rngs)
+                updated = {}
             loss, comps, mask_valid = total_loss_real(out, batch,
                                                       cfg.lambda_anomaly)
-            return loss, (out, comps, mask_valid)
+            return loss, (out, comps, mask_valid, updated)
 
-        (loss, (out, comps, mask_valid)), grads = jax.value_and_grad(
+        (loss, (out, comps, mask_valid, updated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        if has_cb:
+            new_state = new_state.replace(extra_vars={**extra, **updated})
         metrics, _, _ = _accumulate_real(metrics, comps, out, batch,
                                          mask_valid)
         return new_state, metrics
@@ -121,7 +131,9 @@ def make_eval_step_real(model, cfg: Config, test_mode: bool = False,
     1 - sea - cold - no_vegetation (test_CERRA.py:112-113)."""
 
     def step(params, metrics, batch):
-        out = model.apply({"params": params}, batch["x"], train=False)
+        # accepts bare params or a full variables dict (static-structure check)
+        variables = params if "params" in params else {"params": params}
+        out = model.apply(variables, batch["x"], train=False)
         loss, comps, mask_valid = total_loss_real(out, batch,
                                                   cfg.lambda_anomaly)
         if test_mode:
