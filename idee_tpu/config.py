@@ -219,9 +219,11 @@ def _parse_value(text: str, default: Any) -> Any:
 
 
 def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    """Flags are generated from the defaults' dataclass, so Config
+    subclasses (the baseline configs) expose their extra fields too."""
     defaults = defaults or Config()
     parser = argparse.ArgumentParser(description="IDEE-TPU")
-    for f in dataclasses.fields(Config):
+    for f in dataclasses.fields(type(defaults)):
         dv = getattr(defaults, f.name)
         parser.add_argument(f"--{f.name}", type=str, default=None, help=str(f.type))
     parser.add_argument("--config_json", type=str, default=None,
@@ -238,6 +240,7 @@ def read_arguments(
 ) -> Config:
     """Parse CLI args into a Config (reference: config.py:192-203)."""
     defaults = defaults or Config()
+    cls = type(defaults)
     parser = build_parser(defaults)
     ns = parser.parse_args(argv)
 
@@ -245,12 +248,12 @@ def read_arguments(
     if ns.config_json:
         with open(ns.config_json) as fh:
             cfg_dict.update(json.load(fh))
-    for f in dataclasses.fields(Config):
+    for f in dataclasses.fields(cls):
         raw = getattr(ns, f.name)
         if raw is not None:
             cfg_dict[f.name] = _parse_value(raw, getattr(defaults, f.name))
 
-    cfg = Config.from_dict(cfg_dict)
+    cfg = cls.from_dict(cfg_dict)
     cfg = cfg.replace(phase="train" if train else "test")
 
     if print_:

@@ -36,21 +36,35 @@ def make_fake_cube(
     dynamic = base + season + noise
 
     # plant anomaly blobs; an extreme fires where >= half the variables are
-    # anomalous at a pixel
+    # anomalous at a pixel. Independent per-variable blobs alone almost
+    # never overlap in >= half the variables, so in addition plant shared
+    # "events": co-located blobs across a random majority of variables --
+    # this guarantees extremes exist at every grid size/seed.
     anomaly = np.zeros((n_vars, n_time, height, width), np.uint8)
     n_blobs = max(1, int(anomaly_rate * n_time))
+    need = max(2, n_vars // 2)
+
+    def blob():
+        t0 = int(rng.integers(0, max(n_time - 4, 1)))
+        yy = int(rng.integers(0, max(height - 8, 1)))
+        xx = int(rng.integers(0, max(width - 8, 1)))
+        dt = int(rng.integers(2, 5))
+        hh = int(rng.integers(4, 9))
+        ww = int(rng.integers(4, 9))
+        return t0, dt, yy, hh, xx, ww
+
     for v in range(n_vars):
         for _ in range(n_blobs * 4):
-            t0 = int(rng.integers(0, n_time - 4))
-            yy = int(rng.integers(0, height - 8))
-            xx = int(rng.integers(0, width - 8))
-            dt = int(rng.integers(2, 5))
-            hh = int(rng.integers(4, 9))
-            ww = int(rng.integers(4, 9))
+            t0, dt, yy, hh, xx, ww = blob()
+            anomaly[v, t0:t0 + dt, yy:yy + hh, xx:xx + ww] = 1
+    for _ in range(n_blobs * 4):
+        t0, dt, yy, hh, xx, ww = blob()
+        n_hit = int(rng.integers(need, n_vars + 1))
+        for v in rng.choice(n_vars, size=n_hit, replace=False):
             anomaly[v, t0:t0 + dt, yy:yy + hh, xx:xx + ww] = 1
     dynamic = (dynamic + 3.0 * anomaly).astype(np.float32)  # anomalies shift the signal
 
-    extreme = (anomaly.sum(0) >= max(2, n_vars // 2)).astype(np.uint8)
+    extreme = (anomaly.sum(0) >= need).astype(np.uint8)
 
     static = rng.normal(0.0, 1.0, (n_static, height, width)).astype(np.float32)
     svars = ["latitude", "longitude"][:n_static] + [

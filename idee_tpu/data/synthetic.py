@@ -189,6 +189,7 @@ class SyntheticDataset:
                  variables_static: Optional[List[str]] = None,
                  delta_t: int = 8, is_aug: bool = False,
                  is_clima_scale: bool = False, is_norm: bool = True,
+                 is_replace_anomaly: bool = False,
                  window_size: int = 1,
                  x_min: int = 0, x_max: int = 200,
                  y_min: int = 0, y_max: int = 200,
@@ -220,7 +221,8 @@ class SyntheticDataset:
                     root_datacube, variables, variables_static, times,
                     x_min, x_max, y_min, y_max,
                     need_stats=is_norm and not is_clima_scale,
-                    need_clima=is_norm and is_clima_scale,
+                    need_clima=(is_norm and is_clima_scale)
+                    or is_replace_anomaly,
                 )
         self.cube = cube
 
@@ -237,6 +239,23 @@ class SyntheticDataset:
         V, T = self._dynamic.shape[:2]
         self._timestep = np.arange(times[0], times[0] + T, dtype=np.float32)
         self._week = _week_of(self._timestep)
+
+        if is_replace_anomaly:
+            # train reconstruction / one-class models on "anomaly-free"
+            # data: overwrite pixels under extremes with draws from the
+            # pixel-wise weekly climatology Normal(median, std)
+            # (reference: Baselines_Reconstruction/dataset/
+            # Synthetic_dataset.py:205-219)
+            if cube.clima_median is None:
+                raise ValueError("cube lacks climatology for "
+                                 "is_replace_anomaly")
+            wk = self._week.astype(np.int32)
+            sel = np.broadcast_to(self._extreme[None] > 0,
+                                  self._dynamic.shape)
+            med = cube.clima_median[:, wk]
+            std = cube.clima_std[:, wk]
+            self._dynamic[sel] = self._rng.normal(
+                med[sel], np.abs(std[sel])).astype(np.float32)
 
         if is_norm:
             if is_clima_scale:
@@ -299,6 +318,13 @@ class SyntheticDataset:
         mel = self._extreme[index:index + dt].sum(0)
         mask_extreme_loss = np.clip(mel, 0, 1)
 
+        # time-reversed per-timestep window extremes, used by the
+        # reconstruction baselines (reference: Baselines_Reconstruction/
+        # dataset/Synthetic_dataset.py:366-369 keeps the full [dt, H, W]
+        # cube instead of the summed union)
+        mask_extreme_loss_t = np.flip(
+            self._extreme[index:index + dt].copy(), 0)
+
         mask_anomaly = np.flip(self._anomaly[:, index:index + dt], 1)
 
         static = self._static.copy() if self._static is not None else None
@@ -309,6 +335,7 @@ class SyntheticDataset:
                 x = np.rot90(x, **args)
                 mask_extreme = np.rot90(mask_extreme, **args)
                 mask_extreme_loss = np.rot90(mask_extreme_loss, **args)
+                mask_extreme_loss_t = np.rot90(mask_extreme_loss_t, **args)
                 mask_anomaly = np.rot90(mask_anomaly, **args)
                 if static is not None:
                     static = np.rot90(static, **args)
@@ -317,6 +344,7 @@ class SyntheticDataset:
                 x = np.flip(x, axis=-ax)
                 mask_extreme = np.flip(mask_extreme, axis=-ax)
                 mask_extreme_loss = np.flip(mask_extreme_loss, axis=-ax)
+                mask_extreme_loss_t = np.flip(mask_extreme_loss_t, axis=-ax)
                 mask_anomaly = np.flip(mask_anomaly, axis=-ax)
                 if static is not None:
                     static = np.flip(static, axis=-ax)
@@ -327,6 +355,8 @@ class SyntheticDataset:
             "mask_extreme": np.ascontiguousarray(mask_extreme, np.float32),
             "mask_extreme_loss": np.ascontiguousarray(
                 mask_extreme_loss, np.float32),
+            "mask_extreme_loss_t": np.ascontiguousarray(
+                mask_extreme_loss_t, np.float32),
             "mask_anomaly": np.ascontiguousarray(mask_anomaly, np.float32),
             "timestep": tstep,
         }

@@ -46,6 +46,71 @@ def _load_encoders():
         pass
 
 
+def build_encoder(cfg: Config, kernel_init, dtype):
+    """Construct the configured backbone encoder (reference:
+    models/build.py:34-84; shared by the composite model and every
+    baseline, which in the reference re-declare this block verbatim in
+    each Baselines_* build file)."""
+    if cfg.encoder not in ENCODERS:
+        _load_encoders()
+    if cfg.encoder not in ENCODERS:
+        raise NotImplementedError(f"Encoder {cfg.encoder} not implemented")
+    enc_cls = ENCODERS[cfg.encoder]
+
+    if cfg.encoder == "CNN_3D":
+        return enc_cls(
+            in_vars=cfg.in_channels_dynamic,
+            in_channels=cfg.in_channels,
+            out_channels=list(cfg.en_embed_dim),
+            drop_path_rate=cfg.en_drop_path_rate,
+            drop_rate=cfg.en_drop_rate,
+            kernel_init=kernel_init,
+            dtype=dtype,
+        )
+    if cfg.encoder == "Swin_3D":
+        return enc_cls(
+            in_vars=cfg.in_channels_dynamic,
+            in_chans=cfg.in_channels,
+            embed_dim=list(cfg.en_embed_dim),
+            window_size=[tuple(w) for w in cfg.en_window_size],
+            depths=list(cfg.en_depths),
+            num_heads=list(cfg.en_n_heads),
+            mlp_ratio=cfg.en_mlp_ratio,
+            drop_rate=cfg.en_drop_rate,
+            attn_drop_rate=cfg.en_attn_drop_rate,
+            drop_path_rate=cfg.en_drop_path_rate,
+            qkv_bias=cfg.en_qkv_bias,
+            qk_scale=cfg.en_qk_scale,
+            patch_size=tuple(cfg.en_patch_size),
+            patch_norm=cfg.en_patch_norm,
+            use_checkpoint=cfg.en_use_checkpoint,
+            kernel_init=kernel_init,
+            dtype=dtype,
+        )
+    if cfg.encoder == "Mamba":
+        return enc_cls(
+            in_vars=cfg.in_channels_dynamic,
+            in_chans=cfg.in_channels,
+            embed_dim=list(cfg.en_embed_dim),
+            window_size=[tuple(w) for w in cfg.en_window_size],
+            depths=list(cfg.en_depths),
+            mlp_ratio=cfg.en_mlp_ratio,
+            drop_rate=cfg.en_drop_rate,
+            drop_path_rate=cfg.en_drop_path_rate,
+            patch_size=tuple(cfg.en_patch_size),
+            patch_norm=cfg.en_patch_norm,
+            use_checkpoint=cfg.en_use_checkpoint,
+            d_state=list(cfg.d_state),
+            d_conv=list(cfg.d_conv),
+            expand=list(cfg.expand),
+            dt_min=cfg.dt_min,
+            dt_max=cfg.dt_max,
+            kernel_init=kernel_init,
+            dtype=dtype,
+        )
+    return enc_cls(config=cfg)
+
+
 def build_quantizer(cfg: Config):
     """Construct the configured codebook (reference hard-codes 'LFQ' with a
     TODO, models/build.py:86-91; here all five variants are selectable via
@@ -108,65 +173,7 @@ class VQModel(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         init = reference_init()  # models/build.py:96-118 overrides all inits
 
-        if cfg.encoder not in ENCODERS:
-            _load_encoders()
-        if cfg.encoder not in ENCODERS:
-            raise NotImplementedError(f"Encoder {cfg.encoder} not implemented")
-        enc_cls = ENCODERS[cfg.encoder]
-
-        if cfg.encoder == "CNN_3D":
-            self.encoder = enc_cls(
-                in_vars=cfg.in_channels_dynamic,
-                in_channels=cfg.in_channels,
-                out_channels=list(cfg.en_embed_dim),
-                drop_path_rate=cfg.en_drop_path_rate,
-                drop_rate=cfg.en_drop_rate,
-                kernel_init=init,
-                dtype=dtype,
-            )
-        elif cfg.encoder == "Swin_3D":
-            self.encoder = enc_cls(
-                in_vars=cfg.in_channels_dynamic,
-                in_chans=cfg.in_channels,
-                embed_dim=list(cfg.en_embed_dim),
-                window_size=[tuple(w) for w in cfg.en_window_size],
-                depths=list(cfg.en_depths),
-                num_heads=list(cfg.en_n_heads),
-                mlp_ratio=cfg.en_mlp_ratio,
-                drop_rate=cfg.en_drop_rate,
-                attn_drop_rate=cfg.en_attn_drop_rate,
-                drop_path_rate=cfg.en_drop_path_rate,
-                qkv_bias=cfg.en_qkv_bias,
-                qk_scale=cfg.en_qk_scale,
-                patch_size=tuple(cfg.en_patch_size),
-                patch_norm=cfg.en_patch_norm,
-                use_checkpoint=cfg.en_use_checkpoint,
-                kernel_init=init,
-                dtype=dtype,
-            )
-        elif cfg.encoder == "Mamba":
-            self.encoder = enc_cls(
-                in_vars=cfg.in_channels_dynamic,
-                in_chans=cfg.in_channels,
-                embed_dim=list(cfg.en_embed_dim),
-                window_size=[tuple(w) for w in cfg.en_window_size],
-                depths=list(cfg.en_depths),
-                mlp_ratio=cfg.en_mlp_ratio,
-                drop_rate=cfg.en_drop_rate,
-                drop_path_rate=cfg.en_drop_path_rate,
-                patch_size=tuple(cfg.en_patch_size),
-                patch_norm=cfg.en_patch_norm,
-                use_checkpoint=cfg.en_use_checkpoint,
-                d_state=list(cfg.d_state),
-                d_conv=list(cfg.d_conv),
-                expand=list(cfg.expand),
-                dt_min=cfg.dt_min,
-                dt_max=cfg.dt_max,
-                kernel_init=init,
-                dtype=dtype,
-            )
-        else:
-            self.encoder = enc_cls(config=cfg)
+        self.encoder = build_encoder(cfg, init, dtype)
 
         self.cls = CNN_3D_Classifier(
             in_var=cfg.in_channels_dynamic,

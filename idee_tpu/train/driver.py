@@ -34,7 +34,9 @@ from idee_tpu.train.state import (count_parameters, create_train_state,
                                   model_variables)
 from idee_tpu.train.steps import (init_epoch_metrics, make_eval_step,
                                   make_train_step)
-from idee_tpu.utils.logging import StepTimer, fix_seed, get_logger, log_string
+from idee_tpu.utils.logging import (StepTimer, SummaryWriter, fix_seed,
+                                    get_logger, log_string)
+from idee_tpu.utils.vis import generate_anomaly, generate_images_synthetic
 
 
 def _nanmean(a) -> float:
@@ -123,6 +125,9 @@ def train_synthetic(cfg: Config,
 
     train_step = make_train_step(model, cfg, t0=float(train_ds.timestep[0]))
     eval_step = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]))
+    eval_step_preds = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]),
+                                     return_preds=True)
+    writer = SummaryWriter(cfg.log_dir)
 
     eval_train = EvaluatorSynthetic(logger, "Training")
     eval_val = EvaluatorSynthetic(logger, "Validation")
@@ -156,8 +161,10 @@ def train_synthetic(cfg: Config,
 
         # -- validation --
         metrics = init_epoch_metrics(val_ds.anomaly.shape)
+        last_batch = None
         for batch in val_loader:
             metrics = eval_step(model_variables(state), metrics, batch)
+            last_batch = batch
         m = jax.device_get(metrics)
         mean_loss_val = _epoch_results(m, eval_val, eval_val_anom,
                                        val_ds.anomaly)
@@ -184,6 +191,35 @@ def train_synthetic(cfg: Config,
         history["val_anom_f1"].append(_nanmean(eval_val_anom.F1_pos))
         history["steps_per_sec"].append(timer.steps_per_sec)
         log_string(logger, "steps/sec: %.3f" % timer.steps_per_sec)
+
+        # -- TensorBoard: scalars + last-batch image panels (reference:
+        # train_synthetic.py:283-299,310-319) --
+        writer.add_scalars("Loss", {"train": mean_loss_train,
+                                    "val": mean_loss_val}, epoch + 1)
+        writer.add_scalars("F1", {"train": history["train_f1"][-1],
+                                  "val": f1_val}, epoch + 1)
+        writer.add_scalars("IOU", {"train": _nanmean(eval_train.iou),
+                                   "val": _nanmean(eval_val.iou)}, epoch + 1)
+        if last_batch is not None:
+            _, preds = eval_step_preds(model_variables(state),
+                                       init_epoch_metrics(
+                                           val_ds.anomaly.shape),
+                                       last_batch)
+            preds = jax.device_get(preds)
+            im_p, im_c, im_t = generate_images_synthetic(
+                preds["pred"][:, 0], preds["pred_c"][:, 0],
+                np.asarray(last_batch["mask_extreme"]))
+            panel = np.concatenate([im_p, im_c, im_t], axis=2)
+            writer.add_images("extremes", panel, epoch + 1,
+                              dataformats="NHWC")
+            im_a = generate_anomaly(preds["anomaly"])
+            im_a_gt = generate_anomaly(
+                np.asarray(last_batch["mask_anomaly"]))
+            im_a = np.concatenate([im_a, im_a_gt], axis=2)
+            for v, var in enumerate(cfg.variables):
+                writer.add_images(var, im_a[0, v], epoch + 1,
+                                  dataformats="HWC")
+        writer.flush()
 
         for ev in (eval_train, eval_val, eval_train_anom, eval_val_anom):
             ev.reset()

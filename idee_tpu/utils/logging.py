@@ -45,6 +45,38 @@ def fix_seed(seed: int):
     np.random.seed(seed)
 
 
+class SummaryWriter:
+    """TensorBoard writer (reference: train_synthetic.py:37,310-319 uses
+    torch.utils.tensorboard). Wraps torch's writer when available and
+    degrades to a no-op otherwise, so training never depends on it."""
+
+    def __init__(self, log_dir: str):
+        self._w = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+            self._w = TBWriter(log_dir=log_dir)
+        except Exception:  # tensorboard optional
+            pass
+
+    def add_scalars(self, tag: str, scalars: dict, step: int):
+        if self._w is not None:
+            self._w.add_scalars(tag, scalars, step)
+
+    def add_images(self, tag: str, images, step: int,
+                   dataformats: str = "HWC"):
+        if self._w is not None:
+            self._w.add_images(tag, images, step, dataformats=dataformats)
+
+    def flush(self):
+        if self._w is not None:
+            self._w.flush()
+
+    def close(self):
+        if self._w is not None:
+            self._w.close()
+
+
 class StepTimer:
     """Steps/sec tracker -- the BASELINE.json north-star metric."""
 

@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+# ------------------------------------------------------------------
+"""CLI: test the STEAL reconstruction baseline on the Synthetic dataset
+(reference: Baselines_Reconstruction/test_steal_synthetic.py).
+
+Usage: python scripts/test_steal_synthetic.py --name exp --root_synthetic <dir>
+Field names match the reference baseline config flags 1:1.
+"""
+# ------------------------------------------------------------------
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from idee_tpu import config as config_file  # noqa: E402
+from idee_tpu.baselines.config import recon_config  # noqa: E402
+from idee_tpu.baselines.recon.driver import test_recon_synthetic  # noqa: E402
+
+
+def main():
+    cfg = config_file.read_arguments(train=False, defaults=recon_config())
+    test_recon_synthetic(cfg, "steal")
+
+
+if __name__ == "__main__":
+    main()
