@@ -90,7 +90,9 @@ def _scan_pallas_2d(a, b, interpret=False):
 
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    from idee_tpu.kernels.runtime import use_pallas
+
+    return use_pallas()
 
 
 def _scan_front(a, b):

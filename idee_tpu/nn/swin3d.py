@@ -144,23 +144,30 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(B_, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B_, n, h, hd]
 
-        q = q * scale
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-
         bias = table[rpi].reshape(n, n, h)
-        bias = jnp.transpose(bias, (2, 0, 1))[None]  # [1, h, n, n]
-        attn = attn + bias.astype(attn.dtype)
+        bias = jnp.transpose(bias, (2, 0, 1))  # [h, n, n]
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, h, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(B_, h, n, n)
+        if self.attn_drop > 0 and train:
+            # attention-probability dropout needs the explicit chain
+            q = q * scale
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, h, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(B_, h, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, n, C)
+        else:
+            # fused Pallas path: both matmuls + bias/mask + softmax in one
+            # kernel (kernels/window_attention.py); XLA fallback off-TPU
+            from idee_tpu.kernels.window_attention import window_attention
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, n, C)
+            out = window_attention(q, k, v, bias, mask, scale)
+            out = out.reshape(B_, n, C).astype(
+                self.dtype or out.dtype)
         out = nn.Dense(C, kernel_init=self.kernel_init, dtype=self.dtype,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)

@@ -84,6 +84,8 @@ def train_synthetic(cfg: Config,
     """Train on the synthetic benchmark; returns a history dict."""
     logger = get_logger(cfg)
     fix_seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)  # SURVEY.md 5: sanitizer
 
     log_string(logger, "loading training dataset ...")
     train_ds, val_ds = _make_datasets(cfg, train_cube, val_cube)
@@ -148,10 +150,21 @@ def train_synthetic(cfg: Config,
         timer = StepTimer()
 
         # -- train epoch: fully device-resident accumulation --
+        profiling = cfg.profile_dir and epoch == start_epoch
         metrics = init_epoch_metrics(train_ds.anomaly.shape)
-        for batch in train_loader:
+        for i, batch in enumerate(train_loader):
+            if profiling and i == 2:  # skip compile steps
+                jax.profiler.start_trace(cfg.profile_dir)
             state, metrics = train_step(state, metrics, batch)
             timer.tick()
+            if profiling and i == 7:
+                jax.block_until_ready(metrics["n_steps"])
+                jax.profiler.stop_trace()
+                profiling = False
+                log_string(logger, f"profiler trace -> {cfg.profile_dir}")
+        if profiling:  # short epoch: close the trace
+            jax.block_until_ready(metrics["n_steps"])
+            jax.profiler.stop_trace()
         m = jax.device_get(metrics)
         mean_loss_train = _epoch_results(m, eval_train, eval_train_anom,
                                          train_ds.anomaly)

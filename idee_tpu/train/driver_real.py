@@ -63,6 +63,8 @@ def train_real(cfg: Config, family: str, mesh=None,
                train_ds=None, val_ds=None) -> Dict:
     logger = get_logger(cfg)
     fix_seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)  # SURVEY.md 5: sanitizer
 
     log_string(logger, f"loading {family} training dataset ...")
     if train_ds is None:

@@ -89,3 +89,68 @@ class TestLinearScan:
         y = ssm.apply(v, x)
         assert y.shape == x.shape
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestWindowAttention:
+    """Fused window attention (kernels/window_attention.py) vs the XLA
+    composition (the reference math, Swin_3D.py:145-178)."""
+
+    def _inputs(self, BW=24, n=32, h=2, hd=8, seed=0):
+        rng = np.random.default_rng(seed)
+        q, k, v = (jnp.asarray(rng.normal(size=(BW, n, h, hd))
+                               .astype(np.float32)) for _ in range(3))
+        bias = jnp.asarray(rng.normal(size=(h, n, n)).astype(np.float32))
+        return q, k, v, bias
+
+    def test_fused_matches_xla_interpret(self):
+        from idee_tpu.kernels.window_attention import _fused, _xla_impl
+
+        q, k, v, bias = self._inputs()
+        ref = _xla_impl(q, k, v, bias, None, 0.35)
+        fused = _fused(q, k, v, bias, None, 0.35)  # interpret mode on CPU
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_pad_to_tile(self):
+        from idee_tpu.kernels.window_attention import _fused, _xla_impl
+
+        # BW=10 windows of n=32 -> 3 tiles with padding
+        q, k, v, bias = self._inputs(BW=10)
+        ref = _xla_impl(q, k, v, bias, None, 0.2)
+        fused = _fused(q, k, v, bias, None, 0.2)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        from idee_tpu.kernels.window_attention import (_xla_impl,
+                                                       window_attention)
+
+        q, k, v, bias = self._inputs(BW=8, n=8)
+        w = jnp.asarray(np.random.default_rng(1).normal(
+            size=q.shape).astype(np.float32))
+
+        def loss_k(q, k, v, b):
+            return jnp.sum(window_attention(q, k, v, b, None, 0.35) * w)
+
+        def loss_r(q, k, v, b):
+            return jnp.sum(_xla_impl(q, k, v, b, None, 0.35) * w)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_masked_dispatches_to_xla(self):
+        from idee_tpu.kernels.window_attention import (_can_fuse, _xla_impl,
+                                                       window_attention)
+
+        q, k, v, bias = self._inputs()
+        mask = jnp.asarray(np.where(
+            np.random.default_rng(2).random((8, 32, 32)) > 0.8,
+            -100.0, 0.0).astype(np.float32))
+        assert not _can_fuse(q, mask)
+        out = window_attention(q, k, v, bias, mask, 0.35)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
