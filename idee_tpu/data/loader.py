@@ -67,7 +67,12 @@ class DataLoader:
             yield idx[b * self.batch_size:(b + 1) * self.batch_size]
 
     def _make_batch(self, indices) -> Dict[str, Any]:
-        batch = collate([self.dataset[int(i)] for i in indices])
+        batch = None
+        if hasattr(self.dataset, "get_batch"):
+            # native fused assembly (idee_tpu/native); None -> numpy path
+            batch = self.dataset.get_batch(indices)
+        if batch is None:
+            batch = collate([self.dataset[int(i)] for i in indices])
         if self.transform is not None:
             batch = self.transform(batch)
         if self.sharding is not None:

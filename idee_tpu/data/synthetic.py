@@ -275,6 +275,9 @@ class SyntheticDataset:
                     self._dynamic[v] = (self._dynamic[v] - s["median"]) / s["std"]
             self._dynamic = np.clip(self._dynamic, -10.0, 10.0)
 
+        # native-engine caches (built lazily by get_batch)
+        self._dyn_f32 = self._anom_f32 = self._ext_f32 = None
+
         if window_size > 1:
             self._dynamic = _window_mean(self._dynamic, window_size, (2, 3))
             self._anomaly = _window_mean(
@@ -303,6 +306,67 @@ class SyntheticDataset:
 
     def __len__(self):
         return self._dynamic.shape[1] - self.delta_t + 1
+
+    # -- native fused batch path (idee_tpu/native: the C++ OpenMP engine
+    # replacing the reference's torch DataLoader C++ workers) --
+
+    def _draw_aug(self):
+        """Augmentation flags with the same RNG draw sequence as
+        __getitem__, composed into (flip_h, flip_w): rot90(k=2) flips both
+        axes; np.flip(axis=-ax) flips W (ax=1) or H (ax=2)."""
+        rot = bool(self._rng.integers(2)) if self.is_aug else False
+        fh = fw = rot
+        if self.is_aug and self._rng.integers(2):
+            ax = int(self._rng.integers(1, 3))
+            if ax == 1:
+                fw = not fw
+            else:
+                fh = not fh
+        return fh, fw
+
+    def get_batch(self, indices) -> Optional[Dict[str, np.ndarray]]:
+        """Assemble a whole collated batch in one native call; returns None
+        when the engine is unavailable (caller falls back to __getitem__)."""
+        from idee_tpu import native
+
+        if not native.available():
+            return None
+        if self._anom_f32 is None:
+            self._dyn_f32 = np.ascontiguousarray(self._dynamic, np.float32)
+            self._anom_f32 = np.ascontiguousarray(self._anomaly, np.float32)
+            self._ext_f32 = np.ascontiguousarray(self._extreme, np.float32)
+
+        B = len(indices)
+        base = np.asarray(indices, np.int64)
+        fh = np.zeros(B, np.uint8)
+        fw = np.zeros(B, np.uint8)
+        for b in range(B):
+            h, w = self._draw_aug()
+            fh[b], fw[b] = h, w
+
+        x, me, mel, mel_t, ma = native.synth_batch(
+            self._dyn_f32, self._ext_f32, self._anom_f32, base, fh, fw,
+            self.delta_t)
+        dt = self.delta_t
+        week = np.stack([np.flip(self._week[i:i + dt] + 1)
+                         for i in indices]).astype(np.float32)
+        tstep = np.asarray([[self._timestep[i + dt - 1]] for i in indices],
+                           np.float32)
+        batch = {
+            "x": x, "week": week, "mask_extreme": me,
+            "mask_extreme_loss": mel, "mask_extreme_loss_t": mel_t,
+            "mask_anomaly": ma, "timestep": tstep,
+        }
+        if self._static is not None:
+            stat = np.broadcast_to(
+                self._static[None], (B,) + self._static.shape).copy()
+            for b in range(B):
+                if fh[b]:
+                    stat[b] = stat[b, :, ::-1, :]
+                if fw[b]:
+                    stat[b] = stat[b, :, :, ::-1]
+            batch["static"] = np.ascontiguousarray(stat, np.float32)
+        return batch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         dt = self.delta_t
