@@ -159,12 +159,16 @@ class AgentTower(nn.Module):
         for i, (dim, depth, heads) in enumerate(
                 zip(self.embed_dim, self.depths, self.num_heads)):
             in_dim = self.embed_dim[i - 1] if i > 0 else self.in_chans
-            # pointwise patch embed (patch size (1,1,1),
-            # agent/Swin_3D.py:501-523)
-            x = nn.Conv(dim, kernel_size=(1, 1, 1), padding="VALID",
-                        kernel_init=self.kernel_init,
-                        bias_init=nn.initializers.zeros_init(),
-                        dtype=self.dtype, name=f"embed{i}")(x)
+            # pointwise patch embed + non-affine LN iff the stage changes
+            # dims (agent/Swin_3D.py:447-450; absent for the default
+            # 16 -> [16] agent config)
+            if in_dim != dim:
+                x = nn.Conv(dim, kernel_size=(1, 1, 1), padding="VALID",
+                            kernel_init=self.kernel_init,
+                            bias_init=nn.initializers.zeros_init(),
+                            dtype=self.dtype, name=f"embed{i}")(x)
+                x = nn.LayerNorm(use_bias=False, use_scale=False,
+                                 name=f"embed_norm{i}")(x)
             lo = sum(self.depths[:i])
             for d in range(depth):
                 x = AgentBlock(

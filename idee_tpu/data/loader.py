@@ -75,7 +75,11 @@ class DataLoader:
             batch = collate([self.dataset[int(i)] for i in indices])
         if self.transform is not None:
             batch = self.transform(batch)
-        if self.sharding is not None:
+        if callable(self.sharding):
+            # per-leaf sharding builder (e.g. spatial sharding, where
+            # different-rank leaves need different PartitionSpecs)
+            batch = jax.device_put(batch, self.sharding(batch))
+        elif self.sharding is not None:
             batch = jax.device_put(batch, self.sharding)
         else:
             batch = jax.device_put(batch)

@@ -219,9 +219,11 @@ class MambaStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # patch-embed downsample iff the stage changes dims or patchifies,
+        # with its non-affine LN always on (reference: Mamba.py:313-316)
         if self.in_dim != self.dim or tuple(self.patch_size) != (1, 1, 1):
             x = PatchEmbed3D(patch_size=tuple(self.patch_size),
-                             embed_dim=self.dim, patch_norm=self.patch_norm,
+                             embed_dim=self.dim, patch_norm=True,
                              kernel_init=self.kernel_init, dtype=self.dtype,
                              name="downsample")(x)
         shift = tuple(w // 2 for w in self.window_size)

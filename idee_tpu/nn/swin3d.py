@@ -288,9 +288,13 @@ class SwinStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # patch-embed downsample iff the stage changes dims or patchifies;
+        # when present its non-affine LayerNorm is unconditional (the
+        # reference hardcodes norm_layer=nn.LayerNorm at Swin_3D.py:418 and
+        # never consults the dead patch_norm flag, :388 vs :579)
         if self.in_dim != self.dim or tuple(self.patch_size) != (1, 1, 1):
             x = PatchEmbed3D(patch_size=tuple(self.patch_size),
-                             embed_dim=self.dim, patch_norm=self.patch_norm,
+                             embed_dim=self.dim, patch_norm=True,
                              kernel_init=self.kernel_init, dtype=self.dtype,
                              name="downsample")(x)
         shift = tuple(w // 2 for w in self.window_size)

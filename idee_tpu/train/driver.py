@@ -25,7 +25,8 @@ from idee_tpu.config import Config
 from idee_tpu.data.loader import DataLoader
 from idee_tpu.data.synthetic import SyntheticCube, SyntheticDataset
 from idee_tpu.models import build_model
-from idee_tpu.parallel.mesh import batch_sharding, make_mesh
+from idee_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                    spatial_sharding)
 from idee_tpu.train.checkpoint import CheckpointManager, load_pretrained_params
 from idee_tpu.train.metrics import (EvaluatorAnomalySynthetic,
                                     EvaluatorSynthetic,
@@ -94,7 +95,14 @@ def train_synthetic(cfg: Config,
 
     if mesh is None and cfg.mesh_shape:
         mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    if mesh is not None and "space" in cfg.mesh_axes:
+        # batch + height sharding: XLA's spatial partitioner handles the
+        # conv/window halo exchange over ICI (SURVEY.md 2.9, optional ext)
+        sharding = spatial_sharding(mesh)["batch"]
+    elif mesh is not None:
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = None
 
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,

@@ -76,3 +76,47 @@ def test_counts_are_global(tiny_config, mesh):
     metrics_sh = jax.device_put(init_epoch_metrics(ANOM_SHAPE), rep)
     _, m = step(state_sh, metrics_sh, batch_sh)
     assert int(m["counts"]["seen_all"]) == 8 * 16 * 16
+
+
+def test_spatial_sharding_matches_unsharded(fake_cube, tiny_config):
+    """2-way data x 4-way height sharding: XLA's spatial partitioner
+    inserts the conv halo exchanges; loss matches the unsharded step
+    (SURVEY.md 2.9 optional extension -- the reference has no spatial
+    parallelism)."""
+    import jax
+    import numpy as np
+
+    from idee_tpu.data.loader import DataLoader
+    from idee_tpu.data.synthetic import SyntheticDataset
+    from idee_tpu.models import build_model
+    from idee_tpu.parallel.mesh import (make_mesh, replicate_sharding,
+                                        shard_batch_spatial)
+    from idee_tpu.train.state import create_train_state
+    from idee_tpu.train.steps import init_epoch_metrics, make_train_step
+
+    cfg = tiny_config
+    mesh = make_mesh([2, 4], ("data", "space"))
+    ds = SyntheticDataset(cube=fake_cube, times=cfg.times_train,
+                          variables=list(cfg.variables), delta_t=cfg.delta_t,
+                          is_aug=False)
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=True, prefetch=0)
+    host = {k: np.asarray(v) for k, v in next(iter(loader)).items()}
+
+    model = build_model(cfg)
+    step = make_train_step(model, cfg, t0=float(ds.timestep[0]),
+                           donate=False)
+
+    state = create_train_state(cfg, model, np.zeros_like(host["x"]),
+                               steps_per_epoch=4)
+    sharded = shard_batch_spatial(host, mesh)
+    assert "space" in str(sharded["x"].sharding.spec)
+    s1 = jax.device_put(state, replicate_sharding(mesh))
+    m1 = jax.device_put(init_epoch_metrics(ds.anomaly.shape),
+                        replicate_sharding(mesh))
+    _, m1 = step(s1, m1, sharded)
+    loss_spatial = float(jax.device_get(m1["loss_sums"]["loss"]))
+
+    m0 = init_epoch_metrics(ds.anomaly.shape)
+    _, m0 = step(state, m0, jax.device_put(host))
+    loss_ref = float(jax.device_get(m0["loss_sums"]["loss"]))
+    np.testing.assert_allclose(loss_spatial, loss_ref, rtol=1e-3)
