@@ -140,6 +140,12 @@ class Config:
     beta1: float = 0.9
     beta2: float = 0.999
 
+    # minGPT-style decay/no-decay parameter groups (the reference defines
+    # get_optimizer_groups but ships with it commented out,
+    # utils/utils_train.py:73-140, train_synthetic.py:124-125 -- so the
+    # parity default here is False)
+    use_optimizer_groups: bool = False
+
     lr_scheduler: str = "cosine"
     lr_warmup: float = 1e-6
     lr_warmup_epochs: int = 2

@@ -31,17 +31,53 @@ class TrainState(train_state.TrainState):
     extra_vars: Any = None
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+def decay_mask(params) -> Any:
+    """minGPT-style decay / no-decay split (reference:
+    utils/utils_train.py:73-124 -- defined there but commented out in the
+    shipped drivers, train_synthetic.py:124-125): biases, norm affine
+    parameters (scale/bias/LayerNorm g,b), relative-position-bias tables,
+    and embeddings are exempt from weight decay; everything else decays.
+
+    Returns a bool pytree matching ``params`` (True = decay)."""
+
+    no_decay_names = {"bias", "scale", "g", "b",
+                      "relative_position_bias_table", "learned_embed",
+                      "row_embed", "col_embed", "A_log", "D",
+                      "values_per_latent"}
+
+    def walk(tree, out):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = {}
+                walk(v, out[k])
+            else:
+                out[k] = k not in no_decay_names
+        return out
+
+    return walk(params, {})
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int,
+                   params=None) -> optax.GradientTransformation:
+    """torch Adam folds weight_decay into the gradient before the moment
+    updates; AdamW decays after. ``params`` enables the optional minGPT
+    decay-group split (cfg.use_optimizer_groups)."""
     schedule = make_epoch_schedule(cfg, steps_per_epoch)
+    use_groups = getattr(cfg, "use_optimizer_groups", False) and (
+        params is not None)
+    decay = (optax.add_decayed_weights(cfg.weight_decay,
+                                       mask=decay_mask(params))
+             if use_groups else
+             optax.add_decayed_weights(cfg.weight_decay))
     if cfg.optimizer == "Adam":
         parts = [
-            optax.add_decayed_weights(cfg.weight_decay),
+            decay,
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
         ]
     elif cfg.optimizer == "AdamW":
         parts = [
             optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2, eps=1e-8),
-            optax.add_decayed_weights(cfg.weight_decay),
+            decay,
         ]
     else:
         raise ValueError(
@@ -66,7 +102,7 @@ def create_train_state(cfg: Config, model, sample_x, rng=None,
         {"params": p_rng, "dropout": p_rng, "droppath": p_rng},
         jnp.asarray(sample_x),
     )
-    tx = make_optimizer(cfg, steps_per_epoch)
+    tx = make_optimizer(cfg, steps_per_epoch, params=variables["params"])
     extra = {k: v for k, v in variables.items() if k != "params"}
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx, rng=s_rng,
