@@ -41,7 +41,14 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  sharding: Optional[Any] = None, prefetch: int = 2,
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 keys: Optional[Sequence[str]] = None,
+                 cast: Optional[Dict[str, Any]] = None):
+        """keys: upload only these batch entries (host->device bandwidth is
+        the TPU tunnel's scarcest resource; the jitted steps use a subset
+        of the dataset's fields). cast: per-key host-side dtype cast, e.g.
+        {"x": jnp.bfloat16} to halve the payload when the model computes in
+        bf16 anyway."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +56,8 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = prefetch
         self.transform = transform
+        self.keys = list(keys) if keys is not None else None
+        self.cast = dict(cast) if cast else None
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -73,6 +82,12 @@ class DataLoader:
             batch = self.dataset.get_batch(indices)
         if batch is None:
             batch = collate([self.dataset[int(i)] for i in indices])
+        if self.keys is not None:
+            batch = {k: batch[k] for k in self.keys}
+        if self.cast:
+            batch = {k: (np.asarray(v).astype(self.cast[k])
+                         if k in self.cast else v)
+                     for k, v in batch.items()}
         if self.transform is not None:
             batch = self.transform(batch)
         if callable(self.sharding):
@@ -94,10 +109,13 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for indices in self._index_batches():
+                    if stop.is_set():
+                        return
                     q.put(self._make_batch(indices))
             except Exception as e:  # surface worker errors in the main thread
                 q.put(e)
@@ -106,11 +124,24 @@ class DataLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # a consumer that stops early (benchmarks, tests) must not leave
+            # the worker blocked on q.put mid-device-transfer -- the runtime
+            # aborts if the thread is killed inside a transfer at exit
+            stop.set()
+            while t.is_alive():
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
+            t.join()

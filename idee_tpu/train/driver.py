@@ -104,12 +104,22 @@ def train_synthetic(cfg: Config,
     else:
         sharding = None
 
+    # upload only what the jitted steps + TB panels consume, in compact
+    # dtypes -- host->device bandwidth is a first-order cost per step
+    # (mask_anomaly is {0,1} and only feeds the epoch-end image panel)
+    import jax.numpy as jnp
+
+    keys = ["x", "mask_extreme", "mask_extreme_loss", "mask_anomaly",
+            "timestep"]
+    cast = {"mask_anomaly": np.uint8}
+    if cfg.dtype == "bfloat16":
+        cast["x"] = jnp.bfloat16
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
-                              sharding=sharding)
+                              sharding=sharding, keys=keys, cast=cast)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
                             drop_last=True, seed=cfg.seed,
-                            sharding=sharding)
+                            sharding=sharding, keys=keys, cast=cast)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)
