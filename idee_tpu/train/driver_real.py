@@ -79,11 +79,19 @@ def train_real(cfg: Config, family: str, mesh=None,
         mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
     sharding = batch_sharding(mesh) if mesh is not None else None
 
+    # upload only what the jitted steps consume; x in the compute dtype
+    # (host->device bandwidth is a first-order per-step cost)
+    import jax.numpy as jnp
+
+    keys = ["x", "mask_extreme", "mask_extreme_loss", "mask_cold_surface",
+            "mask_cold_surface_loss"]
+    cast = {"x": jnp.bfloat16} if cfg.dtype == "bfloat16" else None
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
-                              sharding=sharding)
+                              sharding=sharding, keys=keys, cast=cast)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed, sharding=sharding)
+                            drop_last=True, seed=cfg.seed, sharding=sharding,
+                            keys=keys, cast=cast)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)
