@@ -225,10 +225,14 @@ def train_mil_synthetic(cfg: MILConfig, variant: str,
     log_string(logger, "# training samples: %d" % len(train_ds))
     log_string(logger, "# evaluation samples: %d" % len(val_ds))
 
+    keys = ["x", "mask_extreme_loss", "timestep"]
+    cast = ({"x": jnp.bfloat16} if cfg.dtype == "bfloat16" else None)
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed)
+                              drop_last=True, seed=cfg.seed, keys=keys,
+                              cast=cast)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed)
+                            drop_last=True, seed=cfg.seed, keys=keys,
+                            cast=cast)
 
     model = build_mil_model(cfg, variant)
     sample_x = train_ds[0]["x"][None].repeat(cfg.batch_size, 0)

@@ -195,10 +195,11 @@ def train_simplenet_synthetic(cfg: OneClassConfig,
     train_ds, val_ds = _datasets(cfg, train_cube, val_cube)
     log_string(logger, "# training samples: %d" % len(train_ds))
 
+    keys = ["x", "mask_extreme_loss", "timestep"]
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed)
+                              drop_last=True, seed=cfg.seed, keys=keys)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed)
+                            drop_last=True, seed=cfg.seed, keys=keys)
 
     backbone = Backbone(config=cfg)
     model = SimpleNet(config=cfg)

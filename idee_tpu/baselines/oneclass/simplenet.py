@@ -17,7 +17,7 @@ Init: xavier_normal for Linear (build_simplenet.py:23-27).
 """
 # ------------------------------------------------------------------
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax

@@ -203,10 +203,11 @@ def train_recon_synthetic(cfg: ReconConfig, which: str,
     train_ds, val_ds = _datasets(cfg, train_cube, val_cube)
     log_string(logger, "# training samples: %d" % len(train_ds))
 
+    keys = ["x", "mask_extreme_loss_t", "timestep"]
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed)
+                              drop_last=True, seed=cfg.seed, keys=keys)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed)
+                            drop_last=True, seed=cfg.seed, keys=keys)
 
     model, make_train, make_eval = _build(cfg, which)
     sample = train_ds[0]

@@ -24,7 +24,7 @@ N(0,1)-style torch defaults (uniform for pos embeds, :576-578).
 # ------------------------------------------------------------------
 
 import math
-from typing import List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ forward(x [N,V,C,T,H,W]) ->
 """
 # ------------------------------------------------------------------
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax
@@ -27,7 +27,6 @@ from idee_tpu.config import Config
 from idee_tpu.nn.classifier import CNN_3D_Classifier
 from idee_tpu.nn.cnn3d import CNN_3D
 from idee_tpu.nn.layers import reference_init
-from idee_tpu.quant.lfq import LFQ
 
 ENCODERS = {"CNN_3D": CNN_3D}
 

@@ -21,7 +21,6 @@ TPU-first design decisions:
 """
 # ------------------------------------------------------------------
 
-import math
 from functools import reduce as _reduce
 from operator import mul
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -32,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from idee_tpu.nn.cnn3d import ProjHead
-from idee_tpu.nn.layers import (Conv3d, DropPath, LayerNorm3d, Mlp,
+from idee_tpu.nn.layers import (DropPath, LayerNorm3d, Mlp,
                                 reference_init, trunc_normal_init)
 
 

@@ -4,9 +4,9 @@
 Design (scaling-book recipe): pick a mesh, annotate shardings on the jit
 boundary, let XLA insert collectives. For this model family data parallelism
 over the batch axis is the primary strategy (grids are moderate, the model is
-tiny); spatial sharding of H x W with windowed-attention halo exchange is the
-optional extension for the large CORDEX grids (see kernels/halo.py when
-present).
+tiny); spatial sharding of H across a second mesh axis (spatial_sharding
+below; XLA's spatial partitioner inserts the conv/window halo exchanges) is
+the optional extension for the large CORDEX grids.
 """
 # ------------------------------------------------------------------
 

@@ -13,7 +13,6 @@ Numerics contract: fp32 island (reference forces fp32 via
 """
 # ------------------------------------------------------------------
 
-import math
 from typing import Optional, Sequence
 
 import flax.linen as nn

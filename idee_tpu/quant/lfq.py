@@ -20,7 +20,7 @@ implicit codebook.
 # ------------------------------------------------------------------
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

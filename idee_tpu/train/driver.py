@@ -14,8 +14,6 @@ same best-loss / best-F1 checkpoint policy -- restructured TPU-first:
 """
 # ------------------------------------------------------------------
 
-import os
-import time
 from typing import Dict, Optional
 
 import jax

@@ -8,7 +8,7 @@ AdamW), which in optax is add_decayed_weights -> scale_by_adam -> lr.
 """
 # ------------------------------------------------------------------
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ channels-last.
 """
 # ------------------------------------------------------------------
 
-from typing import Optional
-
 import numpy as np
 
 # categorical palette (reference: utils_train.py:605-611)
