@@ -52,6 +52,7 @@ def main():
         encoder=encoder, dtype=dtype, batch_size=batch,
         x_max=hw, y_max=hw, is_aug=False,
         times_train=(1, 64),
+        en_use_checkpoint=os.environ.get("BENCH_REMAT", "0") == "1",
     )
 
     cube = make_fake_cube(n_vars=6, n_time=64, height=hw, width=hw, seed=0)

@@ -63,6 +63,7 @@ def build_encoder(cfg: Config, kernel_init, dtype):
             out_channels=list(cfg.en_embed_dim),
             drop_path_rate=cfg.en_drop_path_rate,
             drop_rate=cfg.en_drop_rate,
+            use_checkpoint=cfg.en_use_checkpoint,
             kernel_init=kernel_init,
             dtype=dtype,
         )

@@ -100,12 +100,15 @@ class CNN3DTower(nn.Module):
     """One variable's encoder tower: stacked residual blocks + projection.
 
     Operates channels-last on [N, T, H, W, C_in] -> [N, T, H, W, E].
+    use_checkpoint remats each block (activation checkpointing, the
+    jax.checkpoint analogue of the reference's en_use_checkpoint flag).
     """
 
     in_channels: int
     out_channels: List[int]
     drop_path_rate: float = 0.0
     drop_rate: float = 0.0
+    use_checkpoint: bool = False
     kernel_init: Callable = reference_init()
     dtype: Optional[jnp.dtype] = None
 
@@ -113,9 +116,14 @@ class CNN3DTower(nn.Module):
     def __call__(self, x, train: bool = False):
         chans = [self.in_channels] + list(self.out_channels[:-1])
         for i, out in enumerate(self.out_channels):
-            x = ConvBlock3d(chans[i], out, drop_path=self.drop_path_rate,
-                            kernel_init=self.kernel_init,
-                            dtype=self.dtype)(x, train=train)
+            blk = ConvBlock3d(chans[i], out, drop_path=self.drop_path_rate,
+                              kernel_init=self.kernel_init,
+                              dtype=self.dtype)
+            if self.use_checkpoint:
+                x = nn.remat(lambda m, a: m(a, train=train),
+                             prevent_cse=False)(blk, x)
+            else:
+                x = blk(x, train=train)
         x = ProjHead(self.out_channels[-1], kernel_init=self.kernel_init,
                      dtype=self.dtype)(x)
         return x
@@ -135,6 +143,7 @@ class CNN_3D(nn.Module):
     out_channels: Optional[List[int]] = None
     drop_path_rate: float = 0.0
     drop_rate: float = 0.0
+    use_checkpoint: bool = False
     kernel_init: Callable = reference_init()
     dtype: Optional[jnp.dtype] = None
 
@@ -156,6 +165,7 @@ class CNN_3D(nn.Module):
             out_channels=out_channels,
             drop_path_rate=self.drop_path_rate,
             drop_rate=self.drop_rate,
+            use_checkpoint=self.use_checkpoint,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="towers",

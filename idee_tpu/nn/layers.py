@@ -85,6 +85,11 @@ class LayerNorm3d(nn.Module):
 
     ``affine=False`` matches torch nn.LayerNorm(C, elementwise_affine=False)
     used throughout the reference backbones (e.g. models/encoder/Swin_3D.py:214).
+
+    The input is flattened to [M, C] around the norm: on high-rank vmapped
+    tower tensors ([V, N, T, H, W, C]) XLA otherwise assigns the (8, 128)
+    tile to the tiny V/N dims of the normalization temporaries, padding
+    them up to 21x and OOMing at batch sizes the chip can trivially hold.
     """
 
     affine: bool = True
@@ -93,12 +98,15 @@ class LayerNorm3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(
+        shape = x.shape
+        y = x.reshape(-1, shape[-1])
+        y = nn.LayerNorm(
             epsilon=self.eps,
             use_bias=self.affine,
             use_scale=self.affine,
             dtype=self.dtype,
-        )(x)
+        )(y)
+        return y.reshape(shape)
 
 
 class Mlp(nn.Module):
