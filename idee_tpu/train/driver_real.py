@@ -28,7 +28,8 @@ from idee_tpu.train.state import (count_parameters, create_train_state,
 from idee_tpu.train.steps_real import (init_epoch_metrics_real,
                                        make_eval_step_real,
                                        make_train_step_real)
-from idee_tpu.utils.logging import StepTimer, fix_seed, get_logger, log_string
+from idee_tpu.utils.logging import (StepTimer, SummaryWriter, fix_seed,
+                                    get_logger, log_string)
 
 
 def make_reanalysis_dataset(cfg: Config, family: str, years, is_aug: bool,
@@ -119,6 +120,7 @@ def train_real(cfg: Config, family: str, mesh=None,
 
     eval_train = Evaluator(logger, "Training", cfg)
     eval_val = Evaluator(logger, "Validation", cfg)
+    writer = SummaryWriter(cfg.log_dir)
 
     best_loss_train, best_loss_val, best_f1_val = np.inf, np.inf, 0.0
     history = {"train_loss": [], "val_loss": [], "train_f1": [],
@@ -160,6 +162,14 @@ def train_real(cfg: Config, family: str, mesh=None,
             ckpt.save("best_F1_model", state, epoch, mean_loss_train,
                       mean_loss_val)
         ckpt.save("latest", state, epoch, mean_loss_train, mean_loss_val)
+
+        # TensorBoard scalars (reference: train_CERRA.py:307-311)
+        writer.add_scalars("Loss", {"train": mean_loss_train,
+                                    "val": mean_loss_val}, epoch + 1)
+        writer.add_scalars("F1", {
+            "train": float(eval_train.F1[1]),
+            "val": f1_val}, epoch + 1)
+        writer.flush()
 
         history["train_loss"].append(mean_loss_train)
         history["val_loss"].append(mean_loss_val)
