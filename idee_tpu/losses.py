@@ -99,6 +99,57 @@ def anomaly_l1_loss(z_q, mask_extreme_loss, mask_exclude, vq0):
     return jnp.sum(l1) / jnp.sum(jnp.broadcast_to(weights, z_q.shape))
 
 
+@jax.custom_vjp
+def anomaly_l1_lfq(s_q, w_pix, w_out, b_out):
+    """Fused anomaly L1 for the 1-bit LFQ bottleneck -- exact value and
+    gradients of anomaly_l1_loss_synthetic / anomaly_l1_loss without ever
+    materializing the [N, V, C, T, H, W] float32 z_q tensor (~1.2 GB/sample
+    at the 200x200 geometry; the round-1 memory ceiling).
+
+    Identity: with vq_0 = project_out(-1) = -w_out + b_out (detached,
+    reference train_synthetic.py:185-194) and z_q = s_q*w_out + b_out,
+      |z_q_c - vq0_c| = |(s_q + 1) * w_c|,  s_q in {-1, +1}
+    so the weighted sum collapses to elementwise ops on the scalar latent:
+      loss = sum_m w_m * |s_q_m + 1| * sum_c|w_c| / (C * sum_m w_m).
+    Gradients (d/ds_q, d/dw, d/db) are the exact derivatives of the
+    uncollapsed form with vq_0 held constant -- verified against the torch
+    reference by tests/test_losses.py.
+
+    s_q:   [N, T, H, W, V] float32, +/-1 valued (STE carries the gradient)
+    w_pix: [N, H, W] float32 weights (1 - extreme/exclusion mask)
+    w_out/b_out: [C] project_out parameters (b_out gets gradient: the
+                 reference's z_q side is live even though vq_0 is detached)
+    """
+    loss, _ = _anomaly_l1_lfq_fwd(s_q, w_pix, w_out, b_out)
+    return loss
+
+
+def _anomaly_l1_lfq_fwd(s_q, w_pix, w_out, b_out):
+    N, T, H, W, V = s_q.shape
+    C = w_out.shape[0]
+    abs_w = jnp.sum(jnp.abs(w_out))
+    pos = (s_q > 0).astype(jnp.float32)
+    # sum over tokens of w_m * [s_q_m = +1]
+    sp = jnp.einsum("nthwv,nhw->", pos, w_pix)
+    den = C * T * V * jnp.sum(w_pix)
+    loss = 2.0 * sp * abs_w / den
+    return loss, (pos, w_pix, w_out, sp, abs_w, den)
+
+
+def _anomaly_l1_lfq_bwd(res, g):
+    pos, w_pix, w_out, sp, abs_w, den = res
+    # d/ds_q |s_q+1|*abs_w = sign(s_q+1)*abs_w = pos*abs_w  (sign(0) = 0)
+    ds_q = (g * abs_w / den) * pos * w_pix[:, None, :, :, None]
+    # d/dw_c and d/db_c of |s_q*w_c + b_c - vq0_c| with vq0 constant:
+    # sign((s_q+1)*w_c) * s_q  and  sign((s_q+1)*w_c); both reduce to
+    # sign(w_c) summed over tokens where s_q = +1
+    dwb = (g * sp / den) * jnp.sign(w_out)
+    return ds_q, jnp.zeros_like(w_pix), dwb, dwb
+
+
+anomaly_l1_lfq.defvjp(_anomaly_l1_lfq_fwd, _anomaly_l1_lfq_bwd)
+
+
 def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly):
     """Training objective (reference: train_synthetic.py:182-201):
     BCE(joint) + lambda_anomaly * anomaly_L1 + sum_v BCE(head_v) + loss_z_q.
@@ -108,7 +159,13 @@ def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly):
     """
     target = mask_extreme.astype(jnp.float32)[:, None]  # [N,1,H,W]
     loss_bce = bce_loss_synthetic(out.z, target)
-    loss_anom = anomaly_l1_loss_synthetic(out.z_q, mask_extreme_loss, out.vq0)
+    if getattr(out, "loss_anomaly", None) is not None:
+        # fused in-model path (anomaly_l1_lfq); z_q is then dead in the
+        # train step and XLA never materializes it
+        loss_anom = out.loss_anomaly
+    else:
+        loss_anom = anomaly_l1_loss_synthetic(out.z_q, mask_extreme_loss,
+                                              out.vq0)
     # per-variable heads: out.y is [N, V, 1, H, W]
     V = out.y.shape[1]
     loss_var = jnp.sum(

@@ -17,7 +17,7 @@ forward(x [N,V,C,T,H,W]) ->
 """
 # ------------------------------------------------------------------
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -161,6 +161,9 @@ class VQOutput(NamedTuple):
     z_q: jnp.ndarray
     loss_z_q: jnp.ndarray
     vq0: jnp.ndarray
+    # fused in-model anomaly L1 (set when the caller passes
+    # mask_extreme_loss); None -> losses.py computes it from z_q
+    loss_anomaly: Optional[jnp.ndarray] = None
 
 
 class VQModel(nn.Module):
@@ -189,10 +192,31 @@ class VQModel(nn.Module):
         """vq.indices_to_codes(0): the feature-space 'normal' code vector."""
         return self.vq.indices_to_codes(jnp.zeros((1,), jnp.int32))[0]
 
-    def __call__(self, x_d, *, train: bool = False) -> VQOutput:
-        cfg = self.config
-        x_d = x_d.astype(jnp.dtype(cfg.dtype))
+    def _scalar_lfq(self) -> bool:
+        """True when the quantizer supports the packed 1-bit fast path."""
+        from idee_tpu.quant.lfq import LFQ
 
+        return (isinstance(self.vq, LFQ) and self.vq.codebook_dims == 1
+                and self.vq.has_projections and self.vq.codebook_scale == 1.0)
+
+    def __call__(self, x_d, *, train: bool = False,
+                 mask_extreme_loss=None, mask_exclude=None) -> VQOutput:
+        """Forward pass (reference: models/build.py:130-159).
+
+        mask_extreme_loss / mask_exclude ([N, H, W], optional): when given,
+        the anomaly L1 loss (reference models/losses.py:127-168 / :15-61) is
+        computed IN the model, fused with the quantizer -- on the 1-bit LFQ
+        path the full float32 z_q never materializes (losses.anomaly_l1_lfq).
+        """
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        x_d = x_d.astype(dtype)
+
+        if self._scalar_lfq():
+            return self._forward_packed(x_d, train, mask_extreme_loss,
+                                        mask_exclude)
+
+        # ---- generic path (VQ / FSQ / LatentQuantize / Random_VQ) ----
         # encoder: [N,V,C_in,T,H,W] -> [N,V,C,T,H,W]
         z = self.encoder(x_d, train=train)
 
@@ -207,11 +231,68 @@ class VQModel(nn.Module):
         anomaly = indices.reshape(N, V, T, H, W)
 
         # classify on the quantized codes only (build.py:157)
-        zc, y = self.cls(z_q.astype(jnp.dtype(cfg.dtype)), train=train)
+        zc, y = self.cls(z_q.astype(dtype), train=train)
 
         vq0 = jax.lax.stop_gradient(self.normal_code())
+        loss_anomaly = None
+        if mask_extreme_loss is not None:
+            from idee_tpu import losses
+
+            if mask_exclude is not None:
+                loss_anomaly = losses.anomaly_l1_loss(
+                    z_q, mask_extreme_loss, mask_exclude, vq0)
+            else:
+                loss_anomaly = losses.anomaly_l1_loss_synthetic(
+                    z_q, mask_extreme_loss, vq0)
         return VQOutput(zc.astype(jnp.float32), y.astype(jnp.float32),
-                        anomaly, z_q, loss_z_q, vq0)
+                        anomaly, z_q, loss_z_q, vq0, loss_anomaly)
+
+    def _forward_packed(self, x_d, train, mask_extreme_loss, mask_exclude):
+        """Packed 1-bit LFQ flow: all activations keep the TPU-friendly
+        [N, T, H, W, V*C] layout (see nn/layers.py GroupedConv3d for the
+        tiling rationale); the quantizer runs on flat [M] scalars and the
+        anomaly L1 is the fused losses.anomaly_l1_lfq."""
+        from idee_tpu import losses
+        from idee_tpu.nn.cnn3d import pack_variables
+
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        V = cfg.in_channels_dynamic
+
+        if getattr(type(self.encoder), "supports_packed_out", False):
+            zp = self.encoder(x_d, train=train, packed_out=True)
+        else:
+            zp = pack_variables(self.encoder(x_d, train=train))
+        N, T, H, W, VC = zp.shape
+        C = VC // V
+
+        # tokens: row-major [N,T,H,W,V,C] -> [M, C] is a free reshape
+        parts = self.vq.quantize_flat(zp.reshape(-1, C), train=train)
+        s_q = parts.s_q.reshape(N, T, H, W, V)
+        anomaly = jnp.transpose(parts.indices.reshape(N, T, H, W, V),
+                                (0, 4, 1, 2, 3))  # [N,V,T,H,W]
+
+        w_out, b_out = self.vq.out_proj_params()
+        # packed z_q for the classifier, cast to compute dtype immediately
+        # (the fp32 [.., V, C] tensor stays inside the producing fusion)
+        zq_packed = (s_q[..., None] * w_out + b_out)
+        zc, y = self.cls(zq_packed.reshape(N, T, H, W, VC).astype(dtype),
+                         train=train, packed=True)
+
+        vq0 = jax.lax.stop_gradient(b_out - w_out)  # project_out(-1)
+        loss_anomaly = None
+        if mask_extreme_loss is not None:
+            w_pix = mask_extreme_loss.astype(jnp.float32)
+            if mask_exclude is not None:
+                w_pix = w_pix + mask_exclude.astype(jnp.float32)
+            w_pix = 1.0 - jnp.clip(w_pix, 0.0, 1.0)
+            loss_anomaly = losses.anomaly_l1_lfq(s_q, w_pix, w_out, b_out)
+
+        # reference-layout z_q [N,V,C,T,H,W] for eval/tests; dead (DCE) in
+        # the train step, whose loss uses the fused loss_anomaly instead
+        z_q = jnp.transpose(zq_packed, (0, 4, 5, 1, 2, 3))
+        return VQOutput(zc.astype(jnp.float32), y.astype(jnp.float32),
+                        anomaly, z_q, parts.aux_loss, vq0, loss_anomaly)
 
 
 def build_model(config: Config) -> VQModel:

@@ -8,8 +8,11 @@ collapse the temporal axis delta_t=8 -> 1 (reference:
 models/classifier/CNN_3D.py:83-93; the reference notes the heads are
 hard-wired for delta_t=8 at :34,:81 -- kept here, documented).
 
-TPU-first: the V per-variable heads are one vmapped head with stacked
-parameters instead of a Python loop (reference: :126-127).
+TPU-first: the V per-variable heads run as ONE grouped-convolution program
+on the packed [N, T, H, W, V*C] layout (reference loops over heads in
+Python, :126-127) -- see GroupedConv3d in nn/layers.py for the layout
+rationale. The joint head is a plain conv over all V*C channels, exactly the
+reference's channel-concat head (:129-137).
 """
 # ------------------------------------------------------------------
 
@@ -18,7 +21,7 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from idee_tpu.nn.layers import Conv3d, reference_init
+from idee_tpu.nn.layers import Conv3d, GroupedConv3d, reference_init
 
 _KSIZE = (2, 3, 3)
 _STRIDE = (2, 1, 1)
@@ -52,12 +55,47 @@ class ClassifierHead(nn.Module):
         return jnp.squeeze(x, axis=1)  # T collapsed to 1
 
 
+class GroupedClassifierHead(nn.Module):
+    """V per-variable heads as one grouped-conv program.
+
+    Packed [N, T, H, W, V*C] -> [N, H, W, V*n_classes]. Parameter shapes are
+    stacked per variable ([V, kd, kh, kw, Cin, Cout]) -- identical to the
+    per-head torch weights (reference: models/classifier/CNN_3D.py:17-58).
+    """
+
+    n_groups: int
+    in_features: int
+    dim: int
+    n_classes: int = 1
+    drop_rate: float = 0.0
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        V = self.n_groups
+        x = GroupedConv3d(V, self.in_features, self.dim, _KSIZE, _STRIDE,
+                          _PAD, kernel_init=self.kernel_init,
+                          dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+        x = GroupedConv3d(V, self.dim, self.dim, _KSIZE, _STRIDE, _PAD,
+                          kernel_init=self.kernel_init, dtype=self.dtype,
+                          name="conv2")(x)
+        x = nn.relu(x)
+        x = GroupedConv3d(V, self.dim, self.n_classes, _KSIZE, _STRIDE, _PAD,
+                          kernel_init=self.kernel_init, dtype=self.dtype,
+                          name="conv3")(x)
+        return jnp.squeeze(x, axis=1)  # T collapsed to 1
+
+
 class CNN_3D_Classifier(nn.Module):
     """Joint + multi-head classifier (reference: models/classifier/CNN_3D.py:61-139).
 
-    Input  [N, V, C, T, H, W] (quantized codes)
+    Input  [N, V, C, T, H, W] quantized codes, or (packed=True) the packed
+           layout [N, T, H, W, V*C] directly.
     Output z [N, n_classes, H, W] from the joint head over V*C channels,
-           y [N, V, n_classes, H, W] from the vmapped per-variable heads
+           y [N, V, n_classes, H, W] from the grouped per-variable heads
            (the reference returns y as a length-V list).
     """
 
@@ -70,30 +108,26 @@ class CNN_3D_Classifier(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        N, V, C, T, H, W = x.shape
+    def __call__(self, x, *, train: bool = False, packed: bool = False):
+        V, C = self.in_var, self.embed_dim
+        if not packed:
+            N, _, _, T, H, W = x.shape
+            x = jnp.transpose(x, (0, 3, 4, 5, 1, 2)).reshape(
+                N, T, H, W, V * C)
 
-        # per-variable heads: vmap over V with unshared stacked params
-        xv = jnp.transpose(x, (0, 1, 3, 4, 5, 2))  # [N, V, T, H, W, C]
-        head_v = nn.vmap(
-            ClassifierHead,
-            in_axes=(1, None),
-            out_axes=1,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            methods=["__call__"],
-        )(dim=self.dim, n_classes=1, drop_rate=self.drop_rate,
-          kernel_init=self.kernel_init, dtype=self.dtype, name="heads_var")
-        y = head_v(xv, train)  # [N, V, H, W, 1]
-        y = jnp.transpose(y, (0, 1, 4, 2, 3))  # [N, V, 1, H, W]
+        # per-variable heads (grouped; reference: :126-127)
+        y = GroupedClassifierHead(
+            V, C, self.dim, n_classes=1, drop_rate=self.drop_rate,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            name="heads_var")(x, train=train)    # [N, H, W, V]
+        y = jnp.transpose(y, (0, 3, 1, 2))[:, :, None]  # [N, V, 1, H, W]
 
         # joint head over all variables' channels (reference: :129-137)
-        xj = jnp.transpose(x, (0, 3, 4, 5, 1, 2)).reshape(N, T, H, W, V * C)
         z = ClassifierHead(dim=self.dim * self.in_var,
                            n_classes=self.n_classes,
                            drop_rate=self.drop_rate,
                            kernel_init=self.kernel_init,
-                           dtype=self.dtype, name="head_joint")(xj, train=train)
+                           dtype=self.dtype, name="head_joint")(x, train=train)
         z = jnp.transpose(z, (0, 3, 1, 2))  # [N, n_classes, H, W]
 
         return z, y

@@ -33,6 +33,19 @@ class LFQReturn(NamedTuple):
     aux_loss: jnp.ndarray   # scalar
 
 
+class LFQScalarParts(NamedTuple):
+    """Pre-projection result of the 1-bit fast path (codebook_dims == 1).
+
+    s_q carries the straight-through value (exactly +/-codebook_scale) and
+    gradient; z_q = s_q[..., None] * w_out + b_out reconstructs the
+    projected codes when needed.
+    """
+
+    s_q: jnp.ndarray      # [M] float32, +/-scale with STE
+    indices: jnp.ndarray  # [M] int32 in {0, 1}
+    aux_loss: jnp.ndarray  # scalar
+
+
 class LossBreakdown(NamedTuple):
     per_sample_entropy: jnp.ndarray
     codebook_entropy: jnp.ndarray
@@ -110,6 +123,84 @@ class LFQ(nn.Module):
         if project_out and self.has_projections:
             codes = self.project_out(codes)
         return codes
+
+    def in_proj_params(self):
+        """(kernel [dim], bias scalar) of project_in for the 1-bit fast path.
+
+        Extracted through sanctioned module calls (Dense on an identity /
+        zero batch), so parameter initialization, naming, and gradient flow
+        are identical to calling project_in directly -- but the caller can
+        use einsum contractions that never materialize [..., 1]-shaped
+        tensors (which the (8, 128) TPU tile pads 128x).
+        """
+        assert self.codebook_dims == 1 and self.has_projections
+        b = self.project_in(jnp.zeros((1, self.dim), jnp.float32))[0, 0]
+        k = self.project_in(jnp.eye(self.dim, dtype=jnp.float32))[:, 0] - b
+        return k, b
+
+    def out_proj_params(self):
+        """(w [dim], b [dim]) such that project_out(s) = s * w + b.
+
+        Derived from project_out(+scale) and project_out(-scale) (two module
+        calls), keeping gradients exact. Note project_out(-scale) IS vq_0,
+        the 'normal' code vector of the anomaly loss
+        (reference: models/codebook/LFQ.py:152-181)."""
+        assert self.codebook_dims == 1 and self.has_projections
+        scale = self.codebook_scale
+        z01 = self.project_out(
+            jnp.array([[-scale], [scale]], jnp.float32))
+        w = (z01[1] - z01[0]) / (2.0 * scale)
+        b = (z01[1] + z01[0]) / 2.0
+        return w, b
+
+    def quantize_flat(self, x, *, train: bool = False) -> LFQScalarParts:
+        """1-bit fast path over a flat token batch (codebook_dims == 1).
+
+        x: [M, dim] float32 tokens (any flattening of the caller's layout).
+        Returns per-token scalars only -- the full [M, dim] quantized tensor
+        is never built here; callers reconstruct packed z_q lazily from
+        (s_q, out_proj_params()). All per-token tensors are 1-D [M], the
+        TPU-friendly shape (the generic __call__ path's [M, 1] / [M, 2]
+        intermediates tile-pad 64-128x).
+
+        Math parity with __call__ / the reference (models/codebook/LFQ.py:
+        184-307): project_in -> sign quantize + STE -> entropy & commitment
+        losses with softmax over the 2-code implicit codebook at
+        inv_temperature (softmax of 2 logits == sigmoid of their difference).
+        """
+        assert self.codebook_dims == 1, "fast path requires codebook_size=2"
+        x = x.astype(jnp.float32)
+        k_in, b_in = self.in_proj_params()
+        s = jnp.einsum("mc,c->m", x, k_in) + b_in  # [M] fp32
+
+        scale = self.codebook_scale
+        q = jnp.where(s > 0, scale, -scale)
+        if train:
+            s_q = s + jax.lax.stop_gradient(q - s)  # STE (reference :227-228)
+        else:
+            s_q = q
+        indices = (s_q > 0).astype(jnp.int32)
+
+        if train:
+            # prob = softmax([2*s*(-scale), 2*s*(+scale)] * inv_temp)
+            #      = [sigmoid(-4*scale*temp*s), sigmoid(4*scale*temp*s)]
+            a = 4.0 * scale * self.inv_temperature * s
+            p1 = jax.nn.sigmoid(a)
+            p0 = 1.0 - p1
+            per_sample_entropy = jnp.mean(-p0 * _log(p0) - p1 * _log(p1))
+            q0, q1 = jnp.mean(p0), jnp.mean(p1)
+            codebook_entropy = -q0 * _log(q0) - q1 * _log(q1)
+            entropy_aux = (self.entropy_loss_weight * per_sample_entropy
+                           - self.diversity_gamma * codebook_entropy)
+            commit = jnp.mean(jnp.square(s - jax.lax.stop_gradient(q)))
+        else:
+            per_sample_entropy = codebook_entropy = jnp.float32(0.0)
+            entropy_aux = commit = jnp.float32(0.0)
+
+        aux_loss = commit * self.commitment_loss_weight + entropy_aux
+        self.sow("intermediates", "lfq_breakdown",
+                 LossBreakdown(per_sample_entropy, codebook_entropy, commit))
+        return LFQScalarParts(s_q, indices, aux_loss)
 
     def __call__(self, x, *, train: bool = False):
         # fp32 island (reference: :183-189,199)

@@ -121,11 +121,15 @@ def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True):
         def loss_fn(params):
             variables = {"params": params, **extra}
             rngs = {"dropout": d_rng, "droppath": p_rng, "codebook": c_rng}
+            # the mask rides into the model so the anomaly L1 can fuse with
+            # the quantizer (z_q never materializes on the LFQ path)
+            kw = dict(train=True, rngs=rngs,
+                      mask_extreme_loss=batch["mask_extreme_loss"])
             if has_cb:
-                out, updated = model.apply(variables, batch["x"], train=True,
-                                           rngs=rngs, mutable=["codebook"])
+                out, updated = model.apply(variables, batch["x"],
+                                           mutable=["codebook"], **kw)
             else:
-                out = model.apply(variables, batch["x"], train=True, rngs=rngs)
+                out = model.apply(variables, batch["x"], **kw)
                 updated = {}
             loss, comps = losses.total_loss_synthetic(
                 out, batch["mask_extreme"], batch["mask_extreme_loss"],
@@ -155,7 +159,8 @@ def make_eval_step(model, cfg: Config, t0: float = 0.0,
         # collections such as "codebook"); the check is on the static pytree
         # structure, so it resolves at trace time
         variables = params if "params" in params else {"params": params}
-        out = model.apply(variables, batch["x"], train=False)
+        out = model.apply(variables, batch["x"], train=False,
+                          mask_extreme_loss=batch["mask_extreme_loss"])
         loss, comps = losses.total_loss_synthetic(
             out, batch["mask_extreme"], batch["mask_extreme_loss"],
             cfg.lambda_anomaly,

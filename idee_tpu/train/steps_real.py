@@ -65,9 +65,12 @@ def total_loss_real(out, batch, lambda_anomaly):
     drought = batch["mask_extreme"]
 
     loss_bce = losses.bce_loss(out.z[:, 0], drought, mask_valid)
-    loss_anom = losses.anomaly_l1_loss(
-        out.z_q, batch["mask_extreme_loss"],
-        batch["mask_cold_surface_loss"], out.vq0)
+    if getattr(out, "loss_anomaly", None) is not None:
+        loss_anom = out.loss_anomaly  # fused in-model path
+    else:
+        loss_anom = losses.anomaly_l1_loss(
+            out.z_q, batch["mask_extreme_loss"],
+            batch["mask_cold_surface_loss"], out.vq0)
     loss_var = jnp.sum(jax.vmap(
         lambda yv: losses.bce_loss(yv[:, 0], drought, mask_valid),
         in_axes=1)(out.y))
@@ -103,11 +106,14 @@ def make_train_step_real(model, cfg: Config, donate: bool = True):
         def loss_fn(params):
             variables = {"params": params, **extra}
             rngs = {"dropout": d_rng, "droppath": p_rng, "codebook": c_rng}
+            kw = dict(train=True, rngs=rngs,
+                      mask_extreme_loss=batch["mask_extreme_loss"],
+                      mask_exclude=batch["mask_cold_surface_loss"])
             if has_cb:
-                out, updated = model.apply(variables, batch["x"], train=True,
-                                           rngs=rngs, mutable=["codebook"])
+                out, updated = model.apply(variables, batch["x"],
+                                           mutable=["codebook"], **kw)
             else:
-                out = model.apply(variables, batch["x"], train=True, rngs=rngs)
+                out = model.apply(variables, batch["x"], **kw)
                 updated = {}
             loss, comps, mask_valid = total_loss_real(out, batch,
                                                       cfg.lambda_anomaly)
@@ -133,7 +139,9 @@ def make_eval_step_real(model, cfg: Config, test_mode: bool = False,
     def step(params, metrics, batch):
         # accepts bare params or a full variables dict (static-structure check)
         variables = params if "params" in params else {"params": params}
-        out = model.apply(variables, batch["x"], train=False)
+        out = model.apply(variables, batch["x"], train=False,
+                          mask_extreme_loss=batch["mask_extreme_loss"],
+                          mask_exclude=batch["mask_cold_surface_loss"])
         loss, comps, mask_valid = total_loss_real(out, batch,
                                                   cfg.lambda_anomaly)
         if test_mode:

@@ -87,47 +87,40 @@ class TestGoldenCNN3D:
                 return np.stack([_conv_w(w) for w in ws])
             return np.stack([w.detach().numpy() for w in ws])
 
-        t = params["towers"]
-        # block 0: 1x1x1 downsample (1 -> 8), conv1/norm1, conv2/norm2
-        b0 = t["ConvBlock3d_0"]
-        b0["PatchEmbed3dDown_0"]["Conv3d_0"]["Conv_0"]["kernel"] = jnp.asarray(
+        # packed grouped-conv tree: params stay stacked per variable
+        # ([V, kd, kh, kw, Cin, Cout] / [V, C]) so the reference torch
+        # weights graft 1:1 (see nn/layers.py GroupedConv3d)
+        b0 = params["block0"]
+        b0["down_proj"]["kernel"] = jnp.asarray(
             stack("layers_var.{v}.0.downsample.proj"))
-        b0["Conv3d_0"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("layers_var.{v}.0.conv1"))
-        b0["LayerNorm3d_0"]["LayerNorm_0"]["scale"] = jnp.asarray(
+        b0["conv1"]["kernel"] = jnp.asarray(stack("layers_var.{v}.0.conv1"))
+        b0["norm1"]["scale"] = jnp.asarray(
             stack("layers_var.{v}.0.norm1", conv=False))
-        b0["LayerNorm3d_0"]["LayerNorm_0"]["bias"] = jnp.asarray(
+        b0["norm1"]["bias"] = jnp.asarray(
             stack("layers_var.{v}.0.norm1", bias=True))
-        b0["Conv3d_1"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("layers_var.{v}.0.conv2"))
-        b0["LayerNorm3d_1"]["LayerNorm_0"]["scale"] = jnp.asarray(
+        b0["conv2"]["kernel"] = jnp.asarray(stack("layers_var.{v}.0.conv2"))
+        b0["norm2"]["scale"] = jnp.asarray(
             stack("layers_var.{v}.0.norm2", conv=False))
-        b0["LayerNorm3d_1"]["LayerNorm_0"]["bias"] = jnp.asarray(
+        b0["norm2"]["bias"] = jnp.asarray(
             stack("layers_var.{v}.0.norm2", bias=True))
         # block 1: same dims, no downsample
-        b1 = t["ConvBlock3d_1"]
-        b1["Conv3d_0"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("layers_var.{v}.1.conv1"))
-        b1["LayerNorm3d_0"]["LayerNorm_0"]["scale"] = jnp.asarray(
+        b1 = params["block1"]
+        b1["conv1"]["kernel"] = jnp.asarray(stack("layers_var.{v}.1.conv1"))
+        b1["norm1"]["scale"] = jnp.asarray(
             stack("layers_var.{v}.1.norm1", conv=False))
-        b1["LayerNorm3d_0"]["LayerNorm_0"]["bias"] = jnp.asarray(
+        b1["norm1"]["bias"] = jnp.asarray(
             stack("layers_var.{v}.1.norm1", bias=True))
-        b1["Conv3d_1"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("layers_var.{v}.1.conv2"))
-        b1["LayerNorm3d_1"]["LayerNorm_0"]["scale"] = jnp.asarray(
+        b1["conv2"]["kernel"] = jnp.asarray(stack("layers_var.{v}.1.conv2"))
+        b1["norm2"]["scale"] = jnp.asarray(
             stack("layers_var.{v}.1.norm2", conv=False))
-        b1["LayerNorm3d_1"]["LayerNorm_0"]["bias"] = jnp.asarray(
+        b1["norm2"]["bias"] = jnp.asarray(
             stack("layers_var.{v}.1.norm2", bias=True))
         # projection head: Sequential indices 0 and 2
-        ph = t["ProjHead_0"]
-        ph["Conv3d_0"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("proj_var.{v}.0"))
-        ph["Conv3d_0"]["Conv_0"]["bias"] = jnp.asarray(
-            stack("proj_var.{v}.0", bias=True))
-        ph["Conv3d_1"]["Conv_0"]["kernel"] = jnp.asarray(
-            stack("proj_var.{v}.2"))
-        ph["Conv3d_1"]["Conv_0"]["bias"] = jnp.asarray(
-            stack("proj_var.{v}.2", bias=True))
+        ph = params["proj_head"]
+        ph["proj1"]["kernel"] = jnp.asarray(stack("proj_var.{v}.0"))
+        ph["proj1"]["bias"] = jnp.asarray(stack("proj_var.{v}.0", bias=True))
+        ph["proj2"]["kernel"] = jnp.asarray(stack("proj_var.{v}.2"))
+        ph["proj2"]["bias"] = jnp.asarray(stack("proj_var.{v}.2", bias=True))
 
         with torch.no_grad():
             want = tm(torch.from_numpy(x)).numpy()

@@ -38,36 +38,31 @@ def _graft_into_torch(tm, params, V):
         with torch.no_grad():
             tensor.copy_(torch.from_numpy(np.ascontiguousarray(value)))
 
-    enc = params["encoder"]["towers"]
+    # packed grouped-conv tree: stacked [V, kd, kh, kw, Cin, Cout] kernels
+    # and [V, C] norm params (nn/layers.py GroupedConv3d/GroupedLayerNorm3d)
+    enc = params["encoder"]
     for v in range(V):
         for bi in range(2):
-            blk = enc[f"ConvBlock3d_{bi}"]
+            blk = enc[f"block{bi}"]
             tb = tm.encoder.layers_var[v][bi]
-            if "PatchEmbed3dDown_0" in blk:
+            if "down_proj" in blk:
                 assign(tb.downsample.proj.weight, np.transpose(
-                    np.asarray(blk["PatchEmbed3dDown_0"]["Conv3d_0"]
-                               ["Conv_0"]["kernel"])[v], (4, 3, 0, 1, 2)))
+                    np.asarray(blk["down_proj"]["kernel"])[v],
+                    (4, 3, 0, 1, 2)))
             assign(tb.conv1.weight, np.transpose(
-                np.asarray(blk["Conv3d_0"]["Conv_0"]["kernel"])[v],
-                (4, 3, 0, 1, 2)))
-            assign(tb.norm1.weight, np.asarray(
-                blk["LayerNorm3d_0"]["LayerNorm_0"]["scale"])[v])
-            assign(tb.norm1.bias, np.asarray(
-                blk["LayerNorm3d_0"]["LayerNorm_0"]["bias"])[v])
+                np.asarray(blk["conv1"]["kernel"])[v], (4, 3, 0, 1, 2)))
+            assign(tb.norm1.weight, np.asarray(blk["norm1"]["scale"])[v])
+            assign(tb.norm1.bias, np.asarray(blk["norm1"]["bias"])[v])
             assign(tb.conv2.weight, np.transpose(
-                np.asarray(blk["Conv3d_1"]["Conv_0"]["kernel"])[v],
-                (4, 3, 0, 1, 2)))
-            assign(tb.norm2.weight, np.asarray(
-                blk["LayerNorm3d_1"]["LayerNorm_0"]["scale"])[v])
-            assign(tb.norm2.bias, np.asarray(
-                blk["LayerNorm3d_1"]["LayerNorm_0"]["bias"])[v])
-        ph = enc["ProjHead_0"]
-        for i, seq in ((0, 0), (1, 2)):
+                np.asarray(blk["conv2"]["kernel"])[v], (4, 3, 0, 1, 2)))
+            assign(tb.norm2.weight, np.asarray(blk["norm2"]["scale"])[v])
+            assign(tb.norm2.bias, np.asarray(blk["norm2"]["bias"])[v])
+        ph = enc["proj_head"]
+        for name, seq in (("proj1", 0), ("proj2", 2)):
             assign(tm.encoder.proj_var[v][seq].weight, np.transpose(
-                np.asarray(ph[f"Conv3d_{i}"]["Conv_0"]["kernel"])[v],
-                (4, 3, 0, 1, 2)))
-            assign(tm.encoder.proj_var[v][seq].bias, np.asarray(
-                ph[f"Conv3d_{i}"]["Conv_0"]["bias"])[v])
+                np.asarray(ph[name]["kernel"])[v], (4, 3, 0, 1, 2)))
+            assign(tm.encoder.proj_var[v][seq].bias,
+                   np.asarray(ph[name]["bias"])[v])
 
     vq = params["vq"]
     assign(tm.vq.project_in.weight,
@@ -85,14 +80,14 @@ def _graft_into_torch(tm, params, V):
         assign(conv.bias, np.asarray(
             cls["head_joint"][f"Conv3d_{i}"]["Conv_0"]["bias"]))
     for v in range(V):
-        for i, conv in ((0, tm.cls.layers[v].conv1),
-                        (1, tm.cls.layers[v].conv2),
-                        (2, tm.cls.layers[v].conv3)):
+        for name, conv in (("conv1", tm.cls.layers[v].conv1),
+                           ("conv2", tm.cls.layers[v].conv2),
+                           ("conv3", tm.cls.layers[v].conv3)):
             assign(conv.weight, np.transpose(
-                np.asarray(cls["heads_var"][f"Conv3d_{i}"]["Conv_0"]
-                           ["kernel"])[v], (4, 3, 0, 1, 2)))
+                np.asarray(cls["heads_var"][name]["kernel"])[v],
+                (4, 3, 0, 1, 2)))
             assign(conv.bias, np.asarray(
-                cls["heads_var"][f"Conv3d_{i}"]["Conv_0"]["bias"])[v])
+                cls["heads_var"][name]["bias"])[v])
 
 
 class _Cfg:
@@ -194,7 +189,10 @@ def test_full_train_step_trajectory_matches_reference():
     @jax.jit
     def step(params, opt_state, x, me, mel):
         def loss_fn(p):
+            # mask passed into the model: exercises the FUSED anomaly-L1
+            # path (losses.anomaly_l1_lfq custom-VJP) against torch autograd
             out = model.apply({"params": p}, x, train=True,
+                              mask_extreme_loss=mel,
                               rngs={"dropout": jax.random.PRNGKey(0),
                                     "droppath": jax.random.PRNGKey(0)})
             total, comps = jlosses.total_loss_synthetic(out, me, mel,
