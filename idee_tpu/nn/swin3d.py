@@ -5,19 +5,21 @@ Parity target: reference models/encoder/Swin_3D.py (a Video Swin Transformer
 variant). Same contract as the other backbones: [N,V,C,T,H,W] ->
 [N,V,E,T,H,W] with per-variable unshared towers + 2-conv projection heads.
 
-TPU-first design decisions:
-* per-variable towers -> one ``nn.vmap`` over stacked params (the reference
-  runs 6 sequential Python passes, Swin_3D.py:625-635);
+TPU-first design decisions (round 2: fully PACKED like the CNN encoder --
+see nn/layers.py GroupedConv3d for the lane-tiling rationale):
+* per-variable towers run as ONE packed program on [N, T, H, W, V*C]:
+  Dense/conv layers are block-diagonal GroupedDense/GroupedConv3d, norms
+  are GroupedLayerNorm3d (the reference runs 6 sequential Python passes,
+  Swin_3D.py:625-635; round 1 vmapped them, which still tile-padded every
+  activation 8x);
 * window partition / cyclic shift are static reshape/transpose + jnp.roll
-  inside the jitted program;
+  on the packed layout (channel-count agnostic);
 * the shifted-window attention mask and the relative-position-bias gather
   indices are *trace-time numpy constants* (the reference rebuilds the mask
   on every forward on device, Swin_3D.py:438);
-* channels-last layout [N, T, H, W, C] so LayerNorm/attention run on the
-  lane dimension and convs hit the MXU;
-* attention over windows is batched [B*nW, tokens, C] -- XLA maps the tiny
-  per-window matmuls onto batched MXU ops; a fused Pallas kernel is in
-  kernels/window_attention.py.
+* attention folds (variable, head) into ONE head-like grid axis G = V*h of
+  the fused Pallas kernel (kernels/window_attention.py) -- 12 heads of 8-32
+  tokens per window, packed 128 rows per MXU tile.
 """
 # ------------------------------------------------------------------
 
@@ -30,9 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from idee_tpu.nn.cnn3d import ProjHead
-from idee_tpu.nn.layers import (DropPath, LayerNorm3d, Mlp,
-                                reference_init, trunc_normal_init)
+from idee_tpu.nn.cnn3d import GroupedProjHead
+from idee_tpu.nn.layers import (DropPath, GroupedConv3d, GroupedDense,
+                                GroupedLayerNorm3d, reference_init,
+                                trunc_normal_init)
 
 
 def get_window_size(x_size, window_size, shift_size=None):
@@ -107,10 +110,17 @@ def compute_shift_mask(Dp: int, Hp: int, Wp: int, ws, ss) -> Optional[np.ndarray
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
 
-class WindowAttention3D(nn.Module):
-    """W-MSA with 3D relative position bias (reference: Swin_3D.py:93-178)."""
+class PackedWindowAttention3D(nn.Module):
+    """W-MSA with 3D relative position bias, all variables in one program
+    (reference: Swin_3D.py:93-178).
 
-    dim: int
+    x: [B_, n, V*C] windows -> [B_, n, V*C]. The V unshared attentions ride
+    the Pallas kernel's head axis: G = V*heads bias planes [G, n, n], one
+    grid step each.
+    """
+
+    n_groups: int
+    dim: int  # per-variable channels C
     window_size: Tuple[int, int, int]
     num_heads: int
     qkv_bias: bool = True
@@ -122,60 +132,61 @@ class WindowAttention3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
-        """x: [B_, n, C]; mask: [nW, n, n] or None."""
-        B_, n, C = x.shape
-        h = self.num_heads
+        B_, n, VC = x.shape
+        V, C, h = self.n_groups, self.dim, self.num_heads
         hd = C // h
         scale = self.qk_scale or hd ** -0.5
 
         table_size = ((2 * self.window_size[0] - 1)
                       * (2 * self.window_size[1] - 1)
                       * (2 * self.window_size[2] - 1))
-        # the composite init leaves this table trunc_normal(.02): it is a
-        # bare nn.Parameter, untouched by build.py's Conv/Linear sweep
+        # bare nn.Parameter in the reference: untouched by build.py's
+        # Conv/Linear init sweep, stays trunc_normal(.02); stacked per var
         table = self.param("relative_position_bias_table",
-                           trunc_normal_init(0.02), (table_size, h))
+                           trunc_normal_init(0.02), (V, table_size, h))
         rpi = relative_position_index(self.window_size)[:n, :n].reshape(-1)
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias,
-                       kernel_init=self.kernel_init, dtype=self.dtype,
-                       name="qkv")(x)
-        qkv = qkv.reshape(B_, n, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B_, n, h, hd]
+        qkv = GroupedDense(V, C, 3 * C, use_bias=self.qkv_bias,
+                           kernel_init=self.kernel_init, dtype=self.dtype,
+                           name="qkv")(x)
+        qkv = qkv.reshape(B_, n, V, 3, h, hd)
+        # fold (V, h) into the kernel's head axis, V-major == packed C order
+        q, k, v = (qkv[:, :, :, i].reshape(B_, n, V * h, hd)
+                   for i in range(3))
 
-        bias = table[rpi].reshape(n, n, h)
-        bias = jnp.transpose(bias, (2, 0, 1))  # [h, n, n]
+        bias = table[:, rpi].reshape(V, n, n, h)
+        bias = jnp.transpose(bias, (0, 3, 1, 2)).reshape(V * h, n, n)
 
         if self.attn_drop > 0 and train:
             # attention-probability dropout needs the explicit chain
-            q = q * scale
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+            attn = jnp.einsum("bngd,bmgd->bgnm", q * scale, k)
             attn = attn + bias[None].astype(attn.dtype)
             if mask is not None:
                 nW = mask.shape[0]
-                attn = attn.reshape(B_ // nW, nW, h, n, n)
+                attn = attn.reshape(B_ // nW, nW, V * h, n, n)
                 attn = attn + mask[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(B_, h, n, n)
+                attn = attn.reshape(B_, V * h, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B_, n, C)
+            out = jnp.einsum("bgnm,bmgd->bngd", attn, v)
         else:
             # fused Pallas path: both matmuls + bias/mask + softmax in one
             # kernel (kernels/window_attention.py); XLA fallback off-TPU
             from idee_tpu.kernels.window_attention import window_attention
 
             out = window_attention(q, k, v, bias, mask, scale)
-            out = out.reshape(B_, n, C).astype(
-                self.dtype or out.dtype)
-        out = nn.Dense(C, kernel_init=self.kernel_init, dtype=self.dtype,
-                       name="proj")(out)
+        out = out.reshape(B_, n, VC).astype(self.dtype or out.dtype)
+        out = GroupedDense(V, C, C, kernel_init=self.kernel_init,
+                           dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
 
 
-class SwinBlock3D(nn.Module):
-    """One Swin block: shifted-window MSA + MLP (reference: Swin_3D.py:181-287)."""
+class PackedSwinBlock3D(nn.Module):
+    """One Swin block on the packed layout: shifted-window MSA + MLP
+    (reference: Swin_3D.py:181-287)."""
 
+    n_groups: int
     dim: int
     num_heads: int
     window_size: Tuple[int, int, int] = (2, 7, 7)
@@ -186,18 +197,19 @@ class SwinBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    use_checkpoint: bool = False
     kernel_init: Callable = reference_init()
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: [B, D, H, W, C]."""
-        B, D, H, W, C = x.shape
+        """x: [B, D, H, W, V*C]."""
+        B, D, H, W, VC = x.shape
+        V = self.n_groups
         ws, ss = get_window_size((D, H, W), self.window_size, self.shift_size)
 
         shortcut = x
-        y = LayerNorm3d(affine=False, dtype=self.dtype)(x)
+        y = GroupedLayerNorm3d(V, self.dim, affine=False,
+                               dtype=self.dtype)(x)
 
         # pad to window multiples (trace-time static)
         pad_d = (ws[0] - D % ws[0]) % ws[0]
@@ -216,12 +228,12 @@ class SwinBlock3D(nn.Module):
             mask = None
 
         windows = window_partition(y, ws)
-        attn = WindowAttention3D(
-            dim=self.dim, window_size=ws, num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            attn_drop=self.attn_drop, proj_drop=self.drop,
-            kernel_init=self.kernel_init, dtype=self.dtype,
-            name="attn")(windows, mask, train)
+        attn = PackedWindowAttention3D(
+            n_groups=V, dim=self.dim, window_size=ws,
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+            proj_drop=self.drop, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="attn")(windows, mask, train)
         y = window_reverse(attn, ws, B, Dp, Hp, Wp)
 
         if shifted:
@@ -231,16 +243,23 @@ class SwinBlock3D(nn.Module):
 
         x = shortcut + DropPath(self.drop_path)(y, train=train)
 
-        z = LayerNorm3d(affine=False, dtype=self.dtype)(x)
-        z = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                out_features=self.dim, drop=self.drop,
-                kernel_init=self.kernel_init, dtype=self.dtype)(z, train=train)
+        z = GroupedLayerNorm3d(V, self.dim, affine=False,
+                               dtype=self.dtype)(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        z = GroupedDense(V, self.dim, hidden, kernel_init=self.kernel_init,
+                         dtype=self.dtype, name="mlp_fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
+        z = GroupedDense(V, hidden, self.dim, kernel_init=self.kernel_init,
+                         dtype=self.dtype, name="mlp_fc2")(z)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
         return x + DropPath(self.drop_path)(z, train=train)
 
 
 class PatchEmbed3D(nn.Module):
-    """Conv3d patchify with pad-to-multiple (reference: Swin_3D.py:449-491).
-    Channels-last: [N, D, H, W, C] -> [N, D/p, H/p, W/p, E]."""
+    """Single-tower Conv3d patchify with pad-to-multiple (reference:
+    Swin_3D.py:449-491) on [N, D, H, W, C] -- used by the (vmapped) Mamba
+    tower; the packed Swin path uses PackedPatchEmbed3D below."""
 
     patch_size: Tuple[int, int, int] = (2, 4, 4)
     embed_dim: int = 64
@@ -250,6 +269,8 @@ class PatchEmbed3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from idee_tpu.nn.layers import LayerNorm3d
+
         _, D, H, W, _ = x.shape
         p = self.patch_size
         pads = [(0, (p[i] - s % p[i]) % p[i]) for i, s in enumerate((D, H, W))]
@@ -264,10 +285,42 @@ class PatchEmbed3D(nn.Module):
         return x
 
 
-class SwinStage(nn.Module):
+class PackedPatchEmbed3D(nn.Module):
+    """Per-variable Conv3d patchify with pad-to-multiple
+    (reference: Swin_3D.py:449-491) on [N, D, H, W, V*Cin]."""
+
+    n_groups: int
+    in_features: int
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 64
+    patch_norm: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        _, D, H, W, _ = x.shape
+        p = self.patch_size
+        pads = [(0, (p[i] - s % p[i]) % p[i]) for i, s in enumerate((D, H, W))]
+        if any(hi for _, hi in pads):
+            x = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
+        x = GroupedConv3d(self.n_groups, self.in_features, self.embed_dim,
+                          kernel_size=p, strides=p,
+                          padding=((0, 0), (0, 0), (0, 0)), use_bias=True,
+                          kernel_init=self.kernel_init, dtype=self.dtype,
+                          name="proj")(x)
+        if self.patch_norm:
+            x = GroupedLayerNorm3d(self.n_groups, self.embed_dim,
+                                   affine=False, dtype=self.dtype,
+                                   name="norm")(x)
+        return x
+
+
+class PackedSwinStage(nn.Module):
     """BasicLayer: optional patch-embed downsample + depth blocks
     (reference: Swin_3D.py:355-446)."""
 
+    n_groups: int
     in_dim: int
     dim: int
     depth: int
@@ -292,14 +345,17 @@ class SwinStage(nn.Module):
         # reference hardcodes norm_layer=nn.LayerNorm at Swin_3D.py:418 and
         # never consults the dead patch_norm flag, :388 vs :579)
         if self.in_dim != self.dim or tuple(self.patch_size) != (1, 1, 1):
-            x = PatchEmbed3D(patch_size=tuple(self.patch_size),
-                             embed_dim=self.dim, patch_norm=True,
-                             kernel_init=self.kernel_init, dtype=self.dtype,
-                             name="downsample")(x)
+            x = PackedPatchEmbed3D(n_groups=self.n_groups,
+                                   in_features=self.in_dim,
+                                   patch_size=tuple(self.patch_size),
+                                   embed_dim=self.dim, patch_norm=True,
+                                   kernel_init=self.kernel_init,
+                                   dtype=self.dtype, name="downsample")(x)
         shift = tuple(w // 2 for w in self.window_size)
         for i in range(self.depth):
-            blk = SwinBlock3D(
-                dim=self.dim, num_heads=self.num_heads,
+            blk = PackedSwinBlock3D(
+                n_groups=self.n_groups, dim=self.dim,
+                num_heads=self.num_heads,
                 window_size=tuple(self.window_size),
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
@@ -316,60 +372,15 @@ class SwinStage(nn.Module):
         return x
 
 
-class SwinTower(nn.Module):
-    """One variable's Swin tower: stages + projection head."""
-
-    in_chans: int
-    embed_dim: List[int]
-    depths: List[int]
-    num_heads: List[int]
-    window_size: List[Tuple[int, int, int]]
-    patch_size: Tuple[int, int, int] = (1, 1, 1)
-    mlp_ratio: float = 4.0
-    qkv_bias: bool = True
-    qk_scale: Optional[float] = None
-    drop_rate: float = 0.0
-    attn_drop_rate: float = 0.0
-    drop_path_rate: float = 0.0
-    patch_norm: bool = False
-    use_checkpoint: bool = False
-    kernel_init: Callable = reference_init()
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x: [N, T, H, W, C_in] -> [N, T, H, W, E]."""
-        n_layers = len(self.embed_dim)
-        total = sum(self.depths)
-        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
-        for i in range(n_layers):
-            lo = sum(self.depths[:i])
-            x = SwinStage(
-                in_dim=self.embed_dim[i - 1] if i > 0 else self.in_chans,
-                patch_size=tuple(self.patch_size) if i == 0 else (1, 1, 1),
-                dim=self.embed_dim[i],
-                depth=self.depths[i],
-                num_heads=self.num_heads[i],
-                window_size=tuple(self.window_size[i]),
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
-                drop_path=dpr[lo:lo + self.depths[i]],
-                patch_norm=self.patch_norm and i == 0,
-                use_checkpoint=self.use_checkpoint,
-                kernel_init=self.kernel_init, dtype=self.dtype,
-                name=f"stage{i}")(x, train)
-        x = ProjHead(self.embed_dim[-1], kernel_init=self.kernel_init,
-                     dtype=self.dtype, name="proj")(x)
-        return x
-
-
 class Swin_3D(nn.Module):
     """Multi-variable Video Swin-3D encoder (reference: Swin_3D.py:494-636).
 
-    [N, V, C, T, H, W] -> [N, V, E, T, H, W]; one vmapped tower with stacked
-    per-variable params.
+    [N, V, C, T, H, W] -> [N, V, E, T, H, W] (or packed [N, T, H, W, V*E]
+    with packed_out=True); one packed program over all variables' towers
+    with stacked per-variable params.
     """
+
+    supports_packed_out = True
 
     in_vars: int = 6
     in_chans: int = 1
@@ -390,38 +401,42 @@ class Swin_3D(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, packed_out: bool = False):
+        from idee_tpu.nn.cnn3d import pack_variables, unpack_variables
+
+        V = self.in_vars
         embed_dim = self.embed_dim or [16, 16]
         window_size = self.window_size or [(2, 4, 4), (8, 1, 1)]
         depths = self.depths or [2, 1]
         num_heads = self.num_heads or [2, 2]
 
-        x = jnp.transpose(x, (0, 1, 3, 4, 5, 2))  # [N, V, T, H, W, C]
-        tower = nn.vmap(
-            SwinTower,
-            in_axes=(1, None),
-            out_axes=1,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True, "droppath": True},
-            methods=["__call__"],
-        )(
-            in_chans=self.in_chans,
-            embed_dim=list(embed_dim),
-            depths=list(depths),
-            num_heads=list(num_heads),
-            window_size=[tuple(w) for w in window_size],
-            patch_size=tuple(self.patch_size),
-            mlp_ratio=self.mlp_ratio,
-            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
-            drop_path_rate=self.drop_path_rate,
-            patch_norm=self.patch_norm,
-            use_checkpoint=self.use_checkpoint,
-            kernel_init=self.kernel_init, dtype=self.dtype,
-            name="towers",
-        )
-        y = tower(x, train)
-        return jnp.transpose(y, (0, 1, 5, 2, 3, 4))
+        x = pack_variables(x)  # [N, T, H, W, V*C]
+        n_layers = len(embed_dim)
+        total = sum(depths)
+        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
+        for i in range(n_layers):
+            lo = sum(depths[:i])
+            x = PackedSwinStage(
+                n_groups=V,
+                in_dim=embed_dim[i - 1] if i > 0 else self.in_chans,
+                patch_size=tuple(self.patch_size) if i == 0 else (1, 1, 1),
+                dim=embed_dim[i],
+                depth=depths[i],
+                num_heads=num_heads[i],
+                window_size=tuple(window_size[i]),
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path=dpr[lo:lo + depths[i]],
+                patch_norm=self.patch_norm and i == 0,
+                use_checkpoint=self.use_checkpoint,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                name=f"stage{i}")(x, train)
+        x = GroupedProjHead(V, embed_dim[-1], kernel_init=self.kernel_init,
+                            dtype=self.dtype, name="proj")(x)
+        if packed_out:
+            return x
+        return unpack_variables(x, V)
 
 
 # register

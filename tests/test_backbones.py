@@ -73,8 +73,9 @@ def test_swin_encoder_contract():
     v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     y = model.apply(v, x, train=False)
     assert y.shape == (1, 2, 8, 8, 12, 12)
-    # per-variable towers have unshared (stacked) params
-    qkv = jax.tree_util.tree_leaves(v["params"]["towers"])[0]
+    # per-variable towers have unshared params, stacked on the variable
+    # axis of every GroupedDense/GroupedConv3d kernel (packed layout)
+    qkv = v["params"]["stage0"]["block0"]["attn"]["qkv"]["kernel"]
     assert qkv.shape[0] == 2  # stacked on the variable axis
 
 

@@ -162,18 +162,19 @@ class TestGoldenSwin3D:
                 f"{key}: {dst[key].shape} vs {value.shape}")
             dst[key] = jnp.asarray(value)
 
-        t = params["towers"]
+        # packed tree: GroupedDense/GroupedConv3d params stacked per
+        # variable, same shapes as the reference weights stacked on axis 0
         for si, depth in enumerate(kw["depths"]):
-            stage = t[f"stage{si}"]
+            stage = params[f"stage{si}"]
             # downsample patch embed only where the stage changes dims
             # (Swin_3D.py:417-420)
             if f"layers_var.0.{si}.downsample.proj.weight" in tw:
                 assert "downsample" in stage, f"stage{si} lacks downsample"
-                put(stage["downsample"]["Conv_0"], "kernel", np.stack(
+                put(stage["downsample"]["proj"], "kernel", np.stack(
                     [_conv_w(torch.from_numpy(
                         tw[f"layers_var.{v}.{si}.downsample.proj.weight"]))
                      for v in range(V)]))
-                put(stage["downsample"]["Conv_0"], "bias", np.stack(
+                put(stage["downsample"]["proj"], "bias", np.stack(
                     [tw[f"layers_var.{v}.{si}.downsample.proj.bias"]
                      for v in range(V)]))
             else:
@@ -194,20 +195,20 @@ class TestGoldenSwin3D:
                     put(blk["attn"][fname], "bias", np.stack(
                         [tw[f"{pre.format(v=v)}.{tname}.bias"]
                          for v in range(V)]))
-                for ti, fi in (("mlp.fc1", "Dense_0"), ("mlp.fc2",
-                                                        "Dense_1")):
-                    put(blk["Mlp_0"][fi], "kernel", np.stack(
+                for ti, fi in (("mlp.fc1", "mlp_fc1"), ("mlp.fc2",
+                                                        "mlp_fc2")):
+                    put(blk[fi], "kernel", np.stack(
                         [tw[f"{pre.format(v=v)}.{ti}.weight"].T
                          for v in range(V)]))
-                    put(blk["Mlp_0"][fi], "bias", np.stack(
+                    put(blk[fi], "bias", np.stack(
                         [tw[f"{pre.format(v=v)}.{ti}.bias"]
                          for v in range(V)]))
-        ph = t["proj"]
-        for i, seq in ((0, 0), (1, 2)):
-            put(ph[f"Conv3d_{i}"]["Conv_0"], "kernel", np.stack(
+        ph = params["proj"]
+        for name, seq in (("proj1", 0), ("proj2", 2)):
+            put(ph[name], "kernel", np.stack(
                 [_conv_w(torch.from_numpy(
                     tw[f"proj_var.{v}.{seq}.weight"])) for v in range(V)]))
-            put(ph[f"Conv3d_{i}"]["Conv_0"], "bias", np.stack(
+            put(ph[name], "bias", np.stack(
                 [tw[f"proj_var.{v}.{seq}.bias"] for v in range(V)]))
 
         with torch.no_grad():
