@@ -183,6 +183,10 @@ class Config:
     ckpt_keep: int = 3
     profile_dir: Optional[str] = None  # enable jax.profiler traces when set
     debug_nans: bool = False
+    # upload the normalized synthetic cube to the chip once and slice the
+    # delta_t windows on device (data/device.py) instead of streaming each
+    # window from the host -- removes the per-step host->device transfer
+    device_data: bool = False
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,112 @@
+# ------------------------------------------------------------------
+"""Device-resident synthetic dataset: slice training windows ON the chip.
+
+The reference (and our host DataLoader) re-uploads every delta_t window as
+a fresh [V, 1, dt, H, W] tensor each step -- ~4 MB/step over the remote-TPU
+tunnel, which bounds training throughput well below the chip's step time.
+The synthetic cube is small (200x200 x ~2000 weeks x 6 vars ~ 1 GB bf16),
+so the TPU-native formulation uploads the NORMALIZED cube once and performs
+the window slice, time reversal, mask construction, and rot/flip
+augmentation on device inside one jitted fetch (reference per-item
+semantics: dataset/Synthetic_dataset.py:310-385).
+
+Per-step host traffic drops to a [B] int32 index vector.
+"""
+# ------------------------------------------------------------------
+
+from typing import Optional
+
+import numpy as np
+
+
+class DeviceLoader:
+    """Iterable over device-resident batches, mirroring DataLoader's
+    protocol (len = steps/epoch; iteration yields dict batches).
+
+    Batches contain x, mask_extreme, mask_extreme_loss, timestep and
+    (with_anomaly=True) mask_anomaly -- the keys the jitted train/eval steps
+    and the TensorBoard panels consume.
+    """
+
+    def __init__(self, ds, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 dtype=None, with_anomaly: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+        self.n = len(ds)
+
+        dt = ds.delta_t
+        V, T, H, W = ds.datacube_dynamic.shape
+        x_dtype = dtype or jnp.float32
+        dyn = jax.device_put(jnp.asarray(ds.datacube_dynamic, x_dtype))
+        ext = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(ds.extreme, np.float32)))
+        anom = None
+        if with_anomaly:
+            anom = jax.device_put(jnp.asarray(
+                np.ascontiguousarray(ds.anomaly, np.uint8)))
+        t0 = float(ds.timestep[0])
+        is_aug = bool(ds.is_aug)
+
+        def one(i, key):
+            x = jax.lax.dynamic_slice(dyn, (0, i, 0, 0), (V, dt, H, W))
+            x = jnp.flip(x, 1)[:, None]  # [V, 1, dt, H, W] time-reversed
+            ew = jax.lax.dynamic_slice(ext, (i, 0, 0), (dt, H, W))
+            me = ew[-1]
+            me = jnp.where(me > 1.0, 0.0, me)  # values > 1 zeroed (:342-343)
+            mel = jnp.clip(ew.sum(0), 0.0, 1.0)  # union over window (:346)
+            out = {"x": x, "mask_extreme": me, "mask_extreme_loss": mel}
+            if anom is not None:
+                a = jax.lax.dynamic_slice(anom, (0, i, 0, 0), (V, dt, H, W))
+                out["mask_anomaly"] = jnp.flip(a, 1)
+            if is_aug:
+                # same composite as the host path (rot90 k=2 == flip H+W,
+                # then one random-axis flip; Synthetic_dataset.py:355-373)
+                r = jax.random.bernoulli(key, 0.5, (3,))
+                fh = jnp.logical_xor(r[0], r[1] & ~r[2])
+                fw = jnp.logical_xor(r[0], r[1] & r[2])
+
+                def flip2(t):
+                    t = jnp.where(fh, jnp.flip(t, -2), t)
+                    return jnp.where(fw, jnp.flip(t, -1), t)
+
+                out = {k: flip2(v) for k, v in out.items()}
+            return out
+
+        @jax.jit
+        def fetch(idx, key):
+            keys = jax.random.split(key, idx.shape[0])
+            out = jax.vmap(one)(idx, keys)
+            out["timestep"] = (idx.astype(jnp.float32)
+                               + (dt - 1) + t0)[:, None]
+            return out
+
+        self._fetch = fetch
+        self._key = jax.random.PRNGKey(seed)
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        import jax
+
+        order = (self._rng.permutation(self.n) if self.shuffle
+                 else np.arange(self.n))
+        self._epoch += 1
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            key = jax.random.fold_in(self._key, self._epoch * 100003 + b)
+            yield self._fetch(np.asarray(idx, np.int32), key)
+
+    def close(self):  # DataLoader interface parity
+        pass

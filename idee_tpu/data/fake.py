@@ -101,6 +101,163 @@ def make_fake_cube(
     )
 
 
+def _smooth_field(rng, height, width, length):
+    """Unit-variance Gaussian random field with correlation length `length`
+    (spectral smoothing)."""
+    f = rng.normal(size=(height, width))
+    ky = np.fft.fftfreq(height)[:, None]
+    kx = np.fft.fftfreq(width)[None, :]
+    filt = np.exp(-0.5 * ((ky * length) ** 2 + (kx * length) ** 2) * (2 * np.pi) ** 2)
+    s = np.fft.ifft2(np.fft.fft2(f) * filt).real
+    s = (s - s.mean()) / (s.std() + 1e-12)
+    return s.astype(np.float32)
+
+
+def make_benchmark_cube(
+    n_vars: int = 6,
+    n_time: int = 2080,
+    height: int = 200,
+    width: int = 200,
+    n_static: int = 2,
+    seed: int = 0,
+    events_per_year: float = 8.0,
+    distractors_per_year: float = 10.0,
+    variables: Optional[List[str]] = None,
+) -> SyntheticCube:
+    """Reference-statistics synthetic benchmark cube (accuracy-parity data).
+
+    The real 46 GB benchmark (reference scripts/download_synthetic.sh) is
+    not downloadable in this environment; this generator reproduces the
+    STRUCTURE the reference model class is built to exploit
+    (dataset/Synthetic_dataset.py + the training objective semantics,
+    models/losses.py:127-168):
+
+    * per-variable weekly seasonal cycle with smooth spatial amplitude and
+      phase fields, plus AR(1)-in-time spatially correlated noise;
+    * "events": spatio-temporal ellipsoids where a random MAJORITY of the
+      variables turn anomalous (signed 2-3.5 sigma shifts), each variable's
+      anomaly LEADING the extreme by 0-3 weeks -- drivers precede extremes,
+      within the delta_t=8 window;
+    * the extreme mask is the event's spatial core for its duration;
+    * single-variable distractor anomalies with NO extreme, so the
+      anomaly<->extreme coupling (not mere deviation) must be learned.
+
+    GT anomaly masks mark exactly the planted anomalous regions; GT extreme
+    masks the cores -- the evaluator semantics (utils/utils_train.py:
+    269-526) then measure both extreme prediction and driver attribution.
+    """
+    rng = np.random.default_rng(seed)
+    variables = variables or [f"var_{i + 1:02d}" for i in range(n_vars)]
+
+    week = (np.arange(n_time) % 52).astype(np.float32)
+
+    dynamic = np.empty((n_vars, n_time, height, width), np.float32)
+    for v in range(n_vars):
+        amp = 0.5 + 0.5 * np.abs(_smooth_field(rng, height, width, 30))
+        phase = 0.8 * _smooth_field(rng, height, width, 30)
+        season = amp[None] * np.sin(
+            2 * np.pi * week[:, None, None] / 52.0 + phase[None])
+        dynamic[v] = season
+    # AR(1) noise with spatially correlated innovations
+    rho, sigma = 0.65, 0.55
+    state = np.zeros((n_vars, height, width), np.float32)
+    scale = sigma * np.sqrt(1.0 - rho * rho)
+    for t in range(n_time):
+        innov = np.stack([_smooth_field(rng, height, width, 6)
+                          for _ in range(n_vars)])
+        state = rho * state + scale * innov
+        dynamic[:, t] += state
+
+    anomaly = np.zeros((n_vars, n_time, height, width), np.uint8)
+    extreme = np.zeros((n_time, height, width), np.uint8)
+    need = max(2, n_vars // 2)
+
+    yy = np.arange(height, dtype=np.float32)
+    xx = np.arange(width, dtype=np.float32)
+
+    def ellipse(cy, cx, ry, rx, theta):
+        dy = (yy[:, None] - cy)
+        dx = (xx[None, :] - cx)
+        c, s = np.cos(theta), np.sin(theta)
+        u = (c * dx + s * dy) / rx
+        v_ = (-s * dx + c * dy) / ry
+        return u * u + v_ * v_  # r^2 field
+
+    def plant(vars_hit, t0, dur, cy, cx, ry, rx, theta, is_event):
+        r2 = ellipse(cy, cx, ry, rx, theta)
+        core = r2 <= 1.0
+        halo = r2 <= 1.69  # anomalies spread ~30% beyond the extreme core
+        if not halo.any():
+            return
+        shape = np.clip(1.0 - 0.3 * r2, 0.0, None) * halo
+        for v in vars_hit:
+            mag = float(rng.uniform(2.0, 3.5)) * (1 if rng.random() < 0.5
+                                                  else -1)
+            lead = int(rng.integers(0, 4)) if is_event else 0
+            lo = max(0, t0 - lead)
+            hi = min(n_time, t0 + dur)
+            if hi <= lo:
+                continue
+            dynamic[v, lo:hi] += mag * shape[None]
+            anomaly[v, lo:hi] |= halo[None]
+        if is_event:
+            hi = min(n_time, t0 + dur)
+            if hi > t0:
+                extreme[t0:hi] |= core[None]
+
+    n_events = int(events_per_year * n_time / 52.0)
+    for _ in range(n_events):
+        m = int(rng.integers(need, n_vars + 1))
+        plant(rng.choice(n_vars, size=m, replace=False),
+              t0=int(rng.integers(4, n_time - 2)),
+              dur=int(rng.integers(2, 7)),
+              cy=float(rng.uniform(10, height - 10)),
+              cx=float(rng.uniform(10, width - 10)),
+              ry=float(rng.uniform(6, 20)), rx=float(rng.uniform(6, 20)),
+              theta=float(rng.uniform(0, np.pi)), is_event=True)
+    n_distract = int(distractors_per_year * n_time / 52.0)
+    for _ in range(n_distract):
+        plant([int(rng.integers(n_vars))],
+              t0=int(rng.integers(0, n_time - 2)),
+              dur=int(rng.integers(2, 7)),
+              cy=float(rng.uniform(10, height - 10)),
+              cx=float(rng.uniform(10, width - 10)),
+              ry=float(rng.uniform(6, 20)), rx=float(rng.uniform(6, 20)),
+              theta=float(rng.uniform(0, np.pi)), is_event=False)
+
+    static = np.stack([_smooth_field(rng, height, width, 25)
+                       for _ in range(n_static)])
+    svars = ["latitude", "longitude"][:n_static] + [
+        f"static_{i}" for i in range(max(0, n_static - 2))]
+
+    stats = {
+        v: {
+            "min": float(dynamic[i].min()),
+            "max": float(dynamic[i].max()),
+            "mean": float(dynamic[i].mean()),
+            "median": float(np.median(dynamic[i])),
+            "std": float(dynamic[i].std()),
+        }
+        for i, v in enumerate(variables)
+    }
+
+    wk = (np.arange(n_time) % 52)
+    clima_median = np.zeros((n_vars, 52, height, width), np.float32)
+    clima_std = np.ones((n_vars, 52, height, width), np.float32)
+    for w in range(52):
+        sel = dynamic[:, wk == w]
+        if sel.shape[1] == 0:
+            sel = dynamic
+        clima_median[:, w] = np.median(sel, axis=1)
+        clima_std[:, w] = sel.std(axis=1) + 1e-2
+
+    return SyntheticCube(
+        dynamic=dynamic, anomaly=anomaly, extreme=extreme,
+        variables=variables, static=static, variables_static=svars,
+        stats=stats, clima_median=clima_median, clima_std=clima_std,
+    )
+
+
 def write_fake_netcdf(root: str, cube: SyntheticCube) -> None:
     """Write the cube in the reference directory schema via h5py so the
     NetCDF loader path can be tested without xarray."""

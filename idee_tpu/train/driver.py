@@ -110,14 +110,26 @@ def train_synthetic(cfg: Config,
     keys = ["x", "mask_extreme", "mask_extreme_loss", "mask_anomaly",
             "timestep"]
     cast = {"mask_anomaly": np.uint8}
-    if cfg.dtype == "bfloat16":
-        cast["x"] = jnp.bfloat16
-    train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed,
-                              sharding=sharding, keys=keys, cast=cast)
-    val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed,
-                            sharding=sharding, keys=keys, cast=cast)
+    x_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    if x_dtype is not None:
+        cast["x"] = x_dtype
+    if cfg.device_data:
+        # cube lives on the chip; per-step host traffic = a [B] index vector
+        from idee_tpu.data.device import DeviceLoader
+
+        train_loader = DeviceLoader(train_ds, cfg.batch_size, shuffle=True,
+                                    drop_last=True, seed=cfg.seed,
+                                    dtype=x_dtype)
+        val_loader = DeviceLoader(val_ds, cfg.batch_size, shuffle=True,
+                                  drop_last=True, seed=cfg.seed,
+                                  dtype=x_dtype, with_anomaly=True)
+    else:
+        train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                                  drop_last=True, seed=cfg.seed,
+                                  sharding=sharding, keys=keys, cast=cast)
+        val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
+                                drop_last=True, seed=cfg.seed,
+                                sharding=sharding, keys=keys, cast=cast)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)

@@ -86,13 +86,16 @@ def train_real(cfg: Config, family: str, mesh=None,
 
     keys = ["x", "mask_extreme", "mask_extreme_loss", "mask_cold_surface",
             "mask_cold_surface_loss"]
+    # the val loader also carries the sea / no-vegetation masks that only
+    # the epoch-end TensorBoard panels consume (train_CERRA.py:285-291)
+    keys_val = keys + ["mask_sea", "mask_no_vegetation"]
     cast = {"x": jnp.bfloat16} if cfg.dtype == "bfloat16" else None
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
                               sharding=sharding, keys=keys, cast=cast)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
                             drop_last=True, seed=cfg.seed, sharding=sharding,
-                            keys=keys, cast=cast)
+                            keys=keys_val, cast=cast)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)
@@ -117,6 +120,7 @@ def train_real(cfg: Config, family: str, mesh=None,
 
     train_step = make_train_step_real(model, cfg)
     eval_step = make_eval_step_real(model, cfg)
+    eval_step_preds = make_eval_step_real(model, cfg, return_preds=True)
 
     eval_train = Evaluator(logger, "Training", cfg)
     eval_val = Evaluator(logger, "Validation", cfg)
@@ -143,8 +147,10 @@ def train_real(cfg: Config, family: str, mesh=None,
         best_loss_train = min(best_loss_train, mean_loss_train)
 
         metrics = init_epoch_metrics_real()
+        last_batch = None
         for batch in val_loader:
             metrics = eval_step(model_variables(state), metrics, batch)
+            last_batch = batch
         m = jax.device_get(metrics)
         eval_val.update_counts(m["counts"])
         mean_loss_val = (float(m["loss_sums"]["loss"])
@@ -163,12 +169,43 @@ def train_real(cfg: Config, family: str, mesh=None,
                       mean_loss_val)
         ckpt.save("latest", state, epoch, mean_loss_train, mean_loss_val)
 
-        # TensorBoard scalars (reference: train_CERRA.py:307-311)
+        # TensorBoard scalars (reference: train_CERRA.py:313-315)
         writer.add_scalars("Loss", {"train": mean_loss_train,
                                     "val": mean_loss_val}, epoch + 1)
+        writer.add_scalars("IOU", {"train": float(eval_train.iou[1]),
+                                   "val": float(eval_val.iou[1])}, epoch + 1)
         writer.add_scalars("F1", {
             "train": float(eval_train.F1[1]),
             "val": f1_val}, epoch + 1)
+
+        # probability / prediction / target panels with sea, no-vegetation
+        # and cold-surface overlays, plus per-variable anomaly maps
+        # (reference: train_CERRA.py:283-310)
+        if last_batch is not None:
+            from idee_tpu.utils.vis import generate_anomaly, generate_images
+
+            _, preds = eval_step_preds(model_variables(state),
+                                       init_epoch_metrics_real(), last_batch)
+            preds = jax.device_get(preds)
+            mask_valid = np.clip(
+                1.0 - np.asarray(last_batch["mask_cold_surface"]), 0.0, None)
+            im_pred, im_pred_c, im_target = generate_images(
+                preds["pred"], preds["pred_c"],
+                np.asarray(last_batch["mask_extreme"]),
+                np.asarray(last_batch["mask_cold_surface"]),
+                np.asarray(last_batch["mask_sea"]),
+                np.asarray(last_batch["mask_no_vegetation"]),
+                mask_valid)
+            writer.add_images("probability", im_pred, epoch + 1,
+                              dataformats="NHWC")
+            writer.add_images("prediction", im_pred_c, epoch + 1,
+                              dataformats="NHWC")
+            writer.add_images("target", im_target, epoch + 1,
+                              dataformats="NHWC")
+            im_anom = generate_anomaly(preds["anomaly"])
+            for v, var in enumerate(cfg.variables):
+                writer.add_images(var, im_anom[0, v], epoch + 1,
+                                  dataformats="HWC")
         writer.flush()
 
         history["train_loss"].append(mean_loss_train)

@@ -198,3 +198,42 @@ def test_real_train_step(cerra_tree, tiny_config):
     assert np.isfinite(m["loss_sums"]["loss"])
     assert int(m["counts"]["seen_all"]) <= 2 * 16 * 16
     assert int(m["counts"]["seen"].sum()) == int(m["counts"]["seen_all"])
+
+
+def test_real_train_driver_writes_panels(cerra_tree, tiny_config, tmp_path):
+    """One epoch of the full real-world driver: evaluator output, checkpoints
+    AND the TensorBoard image panels (probability/prediction/target +
+    per-variable anomaly maps, reference train_CERRA.py:283-310)."""
+    from idee_tpu.train.driver_real import train_real
+
+    main, noaa = cerra_tree
+    cfg = tiny_config.replace(
+        name="real_driver_smoke", dir_log=str(tmp_path),
+        in_channels=2, delta_t=8, threshold=26.0,
+        variables=["al", "t2m", "tp"], variables_static=[],
+        root_CERRA=main, root_NOAA_CERRA=noaa,
+        years_train=["1991"], years_val=["1991"],
+        grid_override=(16, 16), x_min=0, x_max=16, y_min=0, y_max=16,
+        n_epochs=1, batch_size=2, is_aug=False,
+        is_norm=True, is_clima_scale=False,
+    )
+    hist = train_real(cfg, "CERRA")
+    assert len(hist["val_loss"]) == 1 and np.isfinite(hist["val_loss"][0])
+    # checkpoints + TB event file with image panels
+    ckpt_dir = os.path.join(cfg.log_dir, "model_checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "best_loss_model"))
+    from tensorboard.backend.event_processing import event_accumulator
+
+    events = [os.path.join(root, f)
+              for root, _, files in os.walk(cfg.log_dir)
+              for f in files if "tfevents" in f]
+    assert events, "no TensorBoard event files written"
+    tags = set()
+    for path in events:
+        acc = event_accumulator.EventAccumulator(
+            os.path.dirname(path),
+            size_guidance={event_accumulator.IMAGES: 1})
+        acc.Reload()
+        tags.update(acc.Tags().get("images", []))
+    for expected in ("probability", "prediction", "target", "al"):
+        assert any(expected in t for t in tags), (expected, tags)
