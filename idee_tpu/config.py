@@ -187,6 +187,16 @@ class Config:
     # delta_t windows on device (data/device.py) instead of streaming each
     # window from the host -- removes the per-step host->device transfer
     device_data: bool = False
+    # offline reanalysis cache directory (scripts/convert_reanalysis.py);
+    # serves CERRA/ERA5 items from mmap instead of per-item NetCDF decoding
+    cache_root: Optional[str] = None
+    # thread-pool batch assembly in the host loader (the analogue of the
+    # reference DataLoader num_workers=8, config.py:22-24)
+    loader_workers: int = 0
+    # freeze the LFQ output projection (removes the anomaly-L1's
+    # degenerate W->0 attractor; see quant/lfq.py and BASELINE.md
+    # "Training dynamics"). Default OFF = exact reference behavior.
+    codebook_freeze_out: bool = False
 
     # ------------------------------------------------------------------
 

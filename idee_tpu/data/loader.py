@@ -43,12 +43,17 @@ class DataLoader:
                  sharding: Optional[Any] = None, prefetch: int = 2,
                  transform: Optional[Callable] = None,
                  keys: Optional[Sequence[str]] = None,
-                 cast: Optional[Dict[str, Any]] = None):
+                 cast: Optional[Dict[str, Any]] = None,
+                 workers: int = 0):
         """keys: upload only these batch entries (host->device bandwidth is
         the TPU tunnel's scarcest resource; the jitted steps use a subset
         of the dataset's fields). cast: per-key host-side dtype cast, e.g.
         {"x": jnp.bfloat16} to halve the payload when the model computes in
-        bf16 anyway."""
+        bf16 anyway. workers: >0 assembles batches with a thread pool
+        (batches are built concurrently, yielded in order) -- the analogue
+        of the reference's DataLoader(num_workers=8) for IO-bound item
+        pipelines like CERRA/ERA5 NetCDF reads (config.py:22-24), where
+        h5py/scipy release the GIL during file IO."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,6 +63,7 @@ class DataLoader:
         self.transform = transform
         self.keys = list(keys) if keys is not None else None
         self.cast = dict(cast) if cast else None
+        self.workers = workers
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -102,6 +108,9 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         self._epoch += 1
+        if self.workers > 0:
+            yield from self._iter_pooled()
+            return
         if self.prefetch <= 0:
             for indices in self._index_batches():
                 yield self._make_batch(indices)
@@ -145,3 +154,23 @@ class DataLoader:
                     pass
                 t.join(timeout=0.1)
             t.join()
+
+    def _iter_pooled(self) -> Iterator[Dict[str, Any]]:
+        """Thread-pool batch assembly: up to `workers` batches build
+        concurrently; completed batches are yielded strictly in order with
+        at most prefetch+workers staged ahead of the consumer."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = max(self.prefetch, 1) + self.workers
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = []
+            try:
+                for indices in self._index_batches():
+                    pending.append(pool.submit(self._make_batch, indices))
+                    if len(pending) >= window:
+                        yield pending.pop(0).result()
+                while pending:
+                    yield pending.pop(0).result()
+            finally:
+                for fut in pending:
+                    fut.cancel()

@@ -168,7 +168,7 @@ class ReanalysisDataset:
                  window_size: int = 1,
                  x_min: int = 0, x_max: Optional[int] = None,
                  y_min: int = 0, y_max: Optional[int] = None,
-                 seed: int = 0):
+                 seed: int = 0, cache_root: Optional[str] = None):
         self.spec = spec
         self.root_main = root_main
         self.root_noaa = root_noaa
@@ -201,6 +201,13 @@ class ReanalysisDataset:
                                       delta_t, spec.skip_rules)
         if is_shuffle:
             self._rng.shuffle(self.files)
+
+        # optional offline cache (data/convert.convert_reanalysis): per-year
+        # mmap'd arrays replace the ~3*delta_t NetCDF opens + VHI recompute
+        # per item (reference cost: CERRA_dataset.py:525-551,452-518)
+        self._cache = None
+        if cache_root is not None:
+            self._open_cache(cache_root)
 
         if is_norm:
             if is_clima_scale:
@@ -297,11 +304,96 @@ class ReanalysisDataset:
             cube = _window_mean(cube, self.window_size, (1, 2))
         return cube
 
+    # -- offline cache (data/convert.convert_reanalysis) --
+
+    @staticmethod
+    def _file_year_week(path: str) -> Tuple[str, int]:
+        """root/<year>/<year><www>[...].nc -> (year, week)."""
+        name = os.path.basename(path)
+        return name[:4], int(name[4:7])
+
+    def _open_cache(self, cache_root: str):
+        meta_path = os.path.join(cache_root, "meta.json")
+        if not os.path.exists(meta_path):
+            return
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        crop_ok = (meta["x_min"] == self.x_min and meta["x_max"] == self.x_max
+                   and meta["y_min"] == self.y_min
+                   and meta["y_max"] == self.y_max)
+        vars_ok = set(self.variables_dynamic) <= set(meta["variables"])
+        if not (crop_ok and vars_ok and
+                float(meta["alpha"]) == float(self.alpha)):
+            return  # geometry/alpha mismatch -> direct NetCDF path
+        years_needed = set(self.years)
+        for _, noaa, _ in self.files:  # rollover may touch year-1
+            for lst in noaa:
+                years_needed.add(self._file_year_week(lst[0])[0])
+        cache = {"vi": np.array([meta["variables"].index(v)
+                                 for v in self.variables_dynamic])}
+        for year in years_needed:
+            paths = {k: os.path.join(cache_root, f"{k}_{year}.npy")
+                     for k in ("main", "noaa_vhi", "noaa_cold", "present")}
+            if not all(os.path.exists(p) for p in paths.values()):
+                return  # incomplete cache -> direct path
+            cache[year] = {k: np.load(p, mmap_mode="r")
+                           for k, p in paths.items()}
+        self._cache = cache
+
     # -- label engine --
+
+    def _finish_mask(self, vhi: np.ndarray, cold_sum: np.ndarray,
+                     thr: float):
+        """Shared tail of the VHI label engine: week-level (vhi, summed
+        cold masks) -> (drought, cold) in display orientation
+        (reference: CERRA_dataset.py:478-518)."""
+        from idee_tpu import native
+
+        cold = np.flip(cold_sum, 0).astype(np.float32).copy()
+        cold[cold > 1] = 1
+
+        if self.is_reduce:
+            with np.errstate(all="ignore"):
+                vhi = _window_mean(vhi, self.window_size, (0, 1))
+            vhi_f = np.flip(vhi, 0)
+            cold = cold.reshape(self.n_lat_window, self.window_size,
+                                self.n_lon_window, self.window_size)
+            cold = np.nanmin(cold, axis=(1, 3))
+            cold = np.where(cold >= 0.5, 1.0, 0.0).astype(np.float32)
+            noveg = self.mask_no_vegetation_scaled
+            water = self.mask_water_scaled
+        else:
+            vhi_f = np.flip(vhi, 0)
+            noveg = self.mask_no_vegetation
+            water = self.mask_water
+
+        if native.available():
+            # fused threshold + NaN-drop + cold exclusion (the C++ engine's
+            # vhi_mask kernel; NaN compares false, matching drought[nan]=0).
+            # The kernel drops any cold != 0; the reference drops cold == 1
+            # exactly, so pass the binarized mask.
+            v = np.ascontiguousarray(vhi_f, np.float32)
+            cold_eq1 = np.ascontiguousarray(cold == 1, np.float32)
+            drought = native.vhi_mask(v, v, cold_eq1, self.alpha, thr)
+        else:
+            drought = (vhi_f < thr).astype(np.float32)
+            drought[np.isnan(drought)] = 0
+            drought[cold == 1] = 0
+        drought[noveg == 1] = 0
+        drought[water == 1] = 0
+        return drought, cold
 
     def generate_mask(self, noaa_files: List[str], thr: float):
         """VHI drought mask + cold-surface mask for one week
         (reference: CERRA_dataset.py:452-518)."""
+        if self._cache is not None:
+            year, week = self._file_year_week(noaa_files[0])
+            yc = self._cache[year]
+            if yc["present"][week - 1, 1]:
+                return self._finish_mask(
+                    np.array(yc["noaa_vhi"][week - 1]),
+                    np.array(yc["noaa_cold"][week - 1]), thr)
+
         vhi_list, cold_list = [], []
         for path in noaa_files:
             with NetCDFFile(path) as f:
@@ -313,36 +405,25 @@ class ReanalysisDataset:
 
         with np.errstate(all="ignore"):
             vhi = np.nanmean(np.stack(vhi_list), axis=0)
-        cold = np.flip(np.stack(cold_list).sum(0), 0).astype(np.float32)
-        cold[cold > 1] = 1
-
-        if self.is_reduce:
-            with np.errstate(all="ignore"):
-                vhi = _window_mean(vhi, self.window_size, (0, 1))
-
-        drought = (np.flip(vhi, 0) < thr).astype(np.float32)
-
-        if self.is_reduce:
-            cold = cold.reshape(self.n_lat_window, self.window_size,
-                                self.n_lon_window, self.window_size)
-            cold = np.nanmin(cold, axis=(1, 3))
-            cold = np.where(cold >= 0.5, 1.0, 0.0).astype(np.float32)
-
-        drought[np.isnan(drought)] = 0
-        drought[cold == 1] = 0
-        if self.is_reduce:
-            drought[self.mask_no_vegetation_scaled == 1] = 0
-            drought[self.mask_water_scaled == 1] = 0
-        else:
-            drought[self.mask_no_vegetation == 1] = 0
-            drought[self.mask_water == 1] = 0
-        return drought, cold
+        return self._finish_mask(vhi, np.stack(cold_list).sum(0), thr)
 
     # -- data loading --
 
     def load_datacube(self, files_main: List[str]) -> np.ndarray:
         """delta_t weekly files -> [V, 2(mean,std), delta_t, H, W], y-flipped
         (reference: CERRA_dataset.py:525-551)."""
+        if self._cache is not None:
+            vi = self._cache["vi"]
+            per_week = []
+            for path in files_main:
+                year, week = self._file_year_week(path)
+                yc = self._cache[year]
+                if not yc["present"][week - 1, 0]:
+                    break  # missing week in cache -> direct path
+                per_week.append(np.array(yc["main"][week - 1][vi]))
+            else:
+                cube = np.stack(per_week, axis=2)  # [V, 2, dt, y, x]
+                return np.flip(cube, -2).astype(np.float32)
         per_week = []
         for path in files_main:
             with NetCDFFile(path) as f:

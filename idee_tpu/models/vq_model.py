@@ -126,6 +126,7 @@ def build_quantizer(cfg: Config):
             entropy_loss_weight=cfg.lambda_entropy,
             diversity_gamma=cfg.diversity_gamma,
             commitment_loss_weight=cfg.lambda_commitment,
+            freeze_project_out=getattr(cfg, "codebook_freeze_out", False),
         )
     if name == "VQ":
         return cls(

@@ -187,6 +187,7 @@ class GroupedDense(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Callable = reference_init()
+    bias_init: Callable = nn.initializers.zeros_init()
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -200,8 +201,7 @@ class GroupedDense(nn.Module):
             V * fin, V * fout)
         y = x.astype(dtype) @ k
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros_init(),
-                              (V, fout), jnp.float32)
+            bias = self.param("bias", self.bias_init, (V, fout), jnp.float32)
             y = y + bias.reshape(V * fout).astype(dtype)
         return y
 

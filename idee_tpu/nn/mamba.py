@@ -9,9 +9,12 @@ attention mask is needed (sequence model).
 
 TPU-first: the reference depends on the mamba-ssm CUDA kernel (N1 in
 SURVEY.md 2.9). Windows here are tiny (<= 32 tokens at the default window
-sizes), so the scan is a ``jax.lax.associative_scan`` over the token axis --
-a parallel prefix scan that XLA maps onto the VPU; the fused Pallas variant
-lives in kernels/selective_scan.py and is used on TPU for the hot path.
+sizes), so the recurrence runs through the fused Pallas linear-scan kernel
+(kernels/selective_scan.py) with the huge windows*channels axis on the VPU
+lanes. Round 2: the towers are PACKED like the CNN/Swin encoders -- one
+program on [N, T, H, W, V*C] with block-diagonal GroupedDense projections
+and the depthwise conv/scan running over all variables' channels at once
+(see nn/layers.py GroupedConv3d for the lane-tiling rationale).
 
 Parameterization follows mamba_ssm.Mamba v1: in_proj -> causal depthwise
 conv1d -> silu -> x_proj (dt/B/C) -> softplus(dt_proj) -> selective scan
@@ -31,22 +34,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from idee_tpu.nn.cnn3d import ProjHead
-from idee_tpu.nn.layers import DropPath, LayerNorm3d, Mlp, reference_init
-from idee_tpu.nn.swin3d import (PatchEmbed3D, get_window_size,
+from idee_tpu.nn.cnn3d import GroupedProjHead, pack_variables, unpack_variables
+from idee_tpu.nn.layers import (DropPath, GroupedDense, GroupedLayerNorm3d,
+                                reference_init)
+from idee_tpu.nn.swin3d import (PackedPatchEmbed3D, get_window_size,
                                 window_partition, window_reverse)
 
 
 def selective_scan(u, delta, A, B, C, D, z):
-    """Fused selective scan.
+    """Fused selective scan (single tower; kept for unit tests).
 
     u, delta, z: [B, L, d]; A: [d, n]; B, C: [B, L, n]; D: [d]
     h_t = exp(delta_t A) h_{t-1} + delta_t B_t u_t;  y_t = C_t . h_t + D u_t
-
-    The recurrence runs through the Pallas linear-scan kernel on TPU
-    (kernels/selective_scan.py -- the mamba-ssm CUDA kernel equivalent);
-    the surrounding elementwise math stays in XLA, which fuses it into the
-    kernel's producers/consumers.
     """
     from idee_tpu.kernels.selective_scan import linear_scan
 
@@ -57,9 +56,35 @@ def selective_scan(u, delta, A, B, C, D, z):
     return y * jax.nn.silu(z)
 
 
-class MambaSSM(nn.Module):
-    """mamba_ssm.Mamba v1-equivalent block on [B, L, d_model]."""
+def selective_scan_packed(u, delta, A, B, C, D, z, n_groups: int):
+    """Selective scan over packed channels.
 
+    u, delta, z: [B_, L, V*d]; A: [V*d, n]; B, C: [B_, L, V, n] (per-variable
+    SSM inputs); D: [V*d]. Returns [B_, L, V*d].
+    """
+    from idee_tpu.kernels.selective_scan import linear_scan
+
+    B_, L, M = u.shape
+    V = n_groups
+    d = M // V
+    n = A.shape[-1]
+
+    # per-variable B/C broadcast over that variable's d_inner channels
+    B_rep = jnp.repeat(B, d, axis=2).reshape(B_, L, M, n)
+    dA = jnp.exp(delta[..., None] * A)                       # [B_, L, M, n]
+    dBu = (delta * u)[..., None] * B_rep
+    h = linear_scan(dA, dBu, axis=1)                         # [B_, L, M, n]
+    C_rep = jnp.repeat(C, d, axis=2).reshape(B_, L, M, n)
+    y = jnp.sum(h * C_rep, axis=-1) + u * D
+    return y * jax.nn.silu(z)
+
+
+class PackedMambaSSM(nn.Module):
+    """mamba_ssm.Mamba v1-equivalent block over all variables at once:
+    [B_, L, V*d_model] -> [B_, L, V*d_model], unshared per-variable params
+    stacked on axis 0 of every kernel."""
+
+    n_groups: int
     d_model: int
     d_state: int = 1
     d_conv: int = 3
@@ -72,35 +97,44 @@ class MambaSSM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        V = self.n_groups
         d_inner = self.expand * self.d_model
         dt_rank = math.ceil(self.d_model / 16)
         n = self.d_state
+        B_, L, _ = x.shape
 
-        xz = nn.Dense(2 * d_inner, use_bias=False,
-                      kernel_init=self.kernel_init, dtype=self.dtype,
-                      name="in_proj")(x)
-        u, z = jnp.split(xz, 2, axis=-1)
+        xz = GroupedDense(V, self.d_model, 2 * d_inner, use_bias=False,
+                          kernel_init=self.kernel_init, dtype=self.dtype,
+                          name="in_proj")(x)
+        xz = xz.reshape(B_, L, V, 2, d_inner)
+        u = xz[:, :, :, 0].reshape(B_, L, V * d_inner)
+        z = xz[:, :, :, 1].reshape(B_, L, V * d_inner)
 
         # causal depthwise conv over the token axis (padding=d_conv-1 then
-        # truncate, mamba_ssm semantics)
+        # truncate, mamba_ssm semantics); depthwise is already per-channel,
+        # so the packed form is the SAME op on V*d_inner channels
         conv_k = self.param("conv1d_kernel", self.kernel_init,
-                            (self.d_conv, 1, d_inner))
+                            (V, self.d_conv, 1, d_inner))
         conv_b = self.param("conv1d_bias", nn.initializers.zeros_init(),
-                            (d_inner,))
-        L = u.shape[1]
+                            (V, d_inner))
+        k = jnp.transpose(conv_k, (1, 2, 0, 3)).reshape(
+            self.d_conv, 1, V * d_inner)
         u_pad = jnp.pad(u, ((0, 0), (self.d_conv - 1, 0), (0, 0)))
         u = jax.lax.conv_general_dilated(
-            u_pad.astype(conv_k.dtype), conv_k,
+            u_pad.astype(k.dtype), k,
             window_strides=(1,), padding="VALID",
             dimension_numbers=("NLC", "LIO", "NLC"),
-            feature_group_count=d_inner,
-        )[:, :L] + conv_b
+            feature_group_count=V * d_inner,
+        )[:, :L] + conv_b.reshape(V * d_inner)
         u = jax.nn.silu(u)
 
-        x_dbl = nn.Dense(dt_rank + 2 * n, use_bias=False,
-                         kernel_init=self.kernel_init, dtype=self.dtype,
-                         name="x_proj")(u)
-        dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=-1)
+        x_dbl = GroupedDense(V, d_inner, dt_rank + 2 * n, use_bias=False,
+                             kernel_init=self.kernel_init, dtype=self.dtype,
+                             name="x_proj")(u)
+        x_dbl = x_dbl.reshape(B_, L, V, dt_rank + 2 * n)
+        dt = x_dbl[..., :dt_rank].reshape(B_, L, V * dt_rank)
+        Bssm = x_dbl[..., dt_rank:dt_rank + n]      # [B_, L, V, n]
+        Cssm = x_dbl[..., dt_rank + n:]             # [B_, L, V, n]
 
         if self.use_mamba_bias_init:
             def dt_bias_init(key, shape, dtype=jnp.float32):
@@ -113,35 +147,63 @@ class MambaSSM(nn.Module):
                 return dt0 + jnp.log(-jnp.expm1(-dt0))
         else:
             dt_bias_init = nn.initializers.zeros_init()
-        delta = nn.Dense(d_inner, use_bias=True,
-                         kernel_init=self.kernel_init,
-                         bias_init=dt_bias_init, dtype=self.dtype,
-                         name="dt_proj")(dt)
+        delta = GroupedDense(V, dt_rank, d_inner, use_bias=True,
+                             kernel_init=self.kernel_init,
+                             bias_init=dt_bias_init, dtype=self.dtype,
+                             name="dt_proj")(dt)
         delta = jax.nn.softplus(delta)
 
         A_log = self.param(
             "A_log",
             lambda key, shape: jnp.tile(
-                jnp.log(jnp.arange(1, n + 1, dtype=jnp.float32)), (d_inner, 1)
-            ),
-            (d_inner, n))
-        A = -jnp.exp(A_log)
-        D = self.param("D", nn.initializers.ones_init(), (d_inner,))
+                jnp.log(jnp.arange(1, n + 1, dtype=jnp.float32)),
+                (V, d_inner, 1)),
+            (V, d_inner, n))
+        A = -jnp.exp(A_log).reshape(V * d_inner, n)
+        D = self.param("D", nn.initializers.ones_init(), (V, d_inner))
 
-        y = selective_scan(u.astype(jnp.float32), delta.astype(jnp.float32),
-                           A, B.astype(jnp.float32), C.astype(jnp.float32),
-                           D, z.astype(jnp.float32))
+        y = selective_scan_packed(
+            u.astype(jnp.float32), delta.astype(jnp.float32), A,
+            Bssm.astype(jnp.float32), Cssm.astype(jnp.float32),
+            D.reshape(V * d_inner), z.astype(jnp.float32), V)
         y = y.astype(x.dtype) if self.dtype is None else y.astype(self.dtype)
-        return nn.Dense(self.d_model, use_bias=False,
-                        kernel_init=self.kernel_init, dtype=self.dtype,
-                        name="out_proj")(y)
+        return GroupedDense(V, d_inner, self.d_model, use_bias=False,
+                            kernel_init=self.kernel_init, dtype=self.dtype,
+                            name="out_proj")(y)
 
 
-class MambaBlock(nn.Module):
-    """Windowed Mamba block (reference: Mamba.py:98-196): LN -> pad ->
-    cyclic shift -> window partition -> SSM over window tokens -> reverse ->
-    residual; then LN -> MLP -> residual."""
+class MambaSSM(nn.Module):
+    """Single-tower SSM on [B, L, d_model] -- PackedMambaSSM with one
+    group; standalone building block (and the unit-test surface for the
+    scan semantics)."""
 
+    d_model: int
+    d_state: int = 1
+    d_conv: int = 3
+    expand: int = 1
+    dt_min: float = 0.01
+    dt_max: float = 0.1
+    use_mamba_bias_init: bool = False
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return PackedMambaSSM(
+            n_groups=1, d_model=self.d_model, d_state=self.d_state,
+            d_conv=self.d_conv, expand=self.expand, dt_min=self.dt_min,
+            dt_max=self.dt_max,
+            use_mamba_bias_init=self.use_mamba_bias_init,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            name="ssm")(x)
+
+
+class PackedMambaBlock(nn.Module):
+    """Windowed Mamba block (reference: Mamba.py:98-196) on the packed
+    layout: LN -> pad -> cyclic shift -> window partition -> SSM over window
+    tokens -> reverse -> residual; then LN -> MLP -> residual."""
+
+    n_groups: int
     dim: int
     window_size: Tuple[int, int, int] = (2, 7, 7)
     shift_size: Tuple[int, int, int] = (0, 0, 0)
@@ -158,11 +220,13 @@ class MambaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        B, D, H, W, C = x.shape
+        B, D, H, W, VC = x.shape
+        V = self.n_groups
         ws, ss = get_window_size((D, H, W), self.window_size, self.shift_size)
 
         shortcut = x
-        y = LayerNorm3d(affine=False, dtype=self.dtype)(x)
+        y = GroupedLayerNorm3d(V, self.dim, affine=False,
+                               dtype=self.dtype)(x)
 
         pad_d = (ws[0] - D % ws[0]) % ws[0]
         pad_h = (ws[1] - H % ws[1]) % ws[1]
@@ -176,11 +240,12 @@ class MambaBlock(nn.Module):
             y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
 
         windows = window_partition(y, ws)
-        windows = MambaSSM(d_model=self.dim, d_state=self.d_state,
-                           d_conv=self.d_conv, expand=self.expand,
-                           dt_min=self.dt_min, dt_max=self.dt_max,
-                           kernel_init=self.kernel_init, dtype=self.dtype,
-                           name="ssm")(windows)
+        windows = PackedMambaSSM(n_groups=V, d_model=self.dim,
+                                 d_state=self.d_state, d_conv=self.d_conv,
+                                 expand=self.expand, dt_min=self.dt_min,
+                                 dt_max=self.dt_max,
+                                 kernel_init=self.kernel_init,
+                                 dtype=self.dtype, name="ssm")(windows)
         y = window_reverse(windows, ws, B, Dp, Hp, Wp)
 
         if shifted:
@@ -189,16 +254,24 @@ class MambaBlock(nn.Module):
             y = y[:, :D, :H, :W, :]
 
         x = shortcut + DropPath(self.drop_path)(y, train=train)
-        z = LayerNorm3d(affine=False, dtype=self.dtype)(x)
-        z = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                out_features=self.dim, drop=self.drop,
-                kernel_init=self.kernel_init, dtype=self.dtype)(z, train=train)
+
+        z = GroupedLayerNorm3d(V, self.dim, affine=False,
+                               dtype=self.dtype)(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        z = GroupedDense(V, self.dim, hidden, kernel_init=self.kernel_init,
+                         dtype=self.dtype, name="mlp_fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
+        z = GroupedDense(V, hidden, self.dim, kernel_init=self.kernel_init,
+                         dtype=self.dtype, name="mlp_fc2")(z)
+        z = nn.Dropout(self.drop, deterministic=not train)(z)
         return x + DropPath(self.drop_path)(z, train=train)
 
 
-class MambaStage(nn.Module):
+class PackedMambaStage(nn.Module):
     """BasicLayer (reference: Mamba.py:247-336)."""
 
+    n_groups: int
     in_dim: int
     dim: int
     depth: int
@@ -222,14 +295,17 @@ class MambaStage(nn.Module):
         # patch-embed downsample iff the stage changes dims or patchifies,
         # with its non-affine LN always on (reference: Mamba.py:313-316)
         if self.in_dim != self.dim or tuple(self.patch_size) != (1, 1, 1):
-            x = PatchEmbed3D(patch_size=tuple(self.patch_size),
-                             embed_dim=self.dim, patch_norm=True,
-                             kernel_init=self.kernel_init, dtype=self.dtype,
-                             name="downsample")(x)
+            x = PackedPatchEmbed3D(n_groups=self.n_groups,
+                                   in_features=self.in_dim,
+                                   patch_size=tuple(self.patch_size),
+                                   embed_dim=self.dim, patch_norm=True,
+                                   kernel_init=self.kernel_init,
+                                   dtype=self.dtype, name="downsample")(x)
         shift = tuple(w // 2 for w in self.window_size)
         for i in range(self.depth):
-            blk = MambaBlock(
-                dim=self.dim, window_size=tuple(self.window_size),
+            blk = PackedMambaBlock(
+                n_groups=self.n_groups, dim=self.dim,
+                window_size=tuple(self.window_size),
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
                 mlp_ratio=self.mlp_ratio,
                 d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
@@ -245,56 +321,13 @@ class MambaStage(nn.Module):
         return x
 
 
-class MambaTower(nn.Module):
-    """One variable's Mamba tower."""
-
-    in_chans: int
-    embed_dim: List[int]
-    depths: List[int]
-    window_size: List[Tuple[int, int, int]]
-    d_state: List[int]
-    d_conv: List[int]
-    expand: List[int]
-    dt_min: float = 0.01
-    dt_max: float = 0.1
-    patch_size: Tuple[int, int, int] = (1, 1, 1)
-    mlp_ratio: float = 4.0
-    drop_rate: float = 0.0
-    drop_path_rate: float = 0.0
-    patch_norm: bool = False
-    use_checkpoint: bool = False
-    kernel_init: Callable = reference_init()
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        n_layers = len(self.embed_dim)
-        total = sum(self.depths)
-        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
-        for i in range(n_layers):
-            lo = sum(self.depths[:i])
-            x = MambaStage(
-                in_dim=self.embed_dim[i - 1] if i > 0 else self.in_chans,
-                patch_size=tuple(self.patch_size) if i == 0 else (1, 1, 1),
-                dim=self.embed_dim[i], depth=self.depths[i],
-                d_state=self.d_state[i], d_conv=self.d_conv[i],
-                expand=self.expand[i],
-                dt_min=self.dt_min, dt_max=self.dt_max,
-                window_size=tuple(self.window_size[i]),
-                mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
-                drop_path=dpr[lo:lo + self.depths[i]],
-                patch_norm=self.patch_norm and i == 0,
-                use_checkpoint=self.use_checkpoint,
-                kernel_init=self.kernel_init, dtype=self.dtype,
-                name=f"stage{i}")(x, train)
-        x = ProjHead(self.embed_dim[-1], kernel_init=self.kernel_init,
-                     dtype=self.dtype, name="proj")(x)
-        return x
-
-
 class Mamba(nn.Module):
     """Multi-variable Vision Mamba encoder (reference: Mamba.py:384-531).
-    [N, V, C, T, H, W] -> [N, V, E, T, H, W]; vmapped towers."""
+    [N, V, C, T, H, W] -> [N, V, E, T, H, W] (packed_out=True returns
+    [N, T, H, W, V*E]); one packed program with stacked per-variable params.
+    """
+
+    supports_packed_out = True
 
     in_vars: int = 6
     in_chans: int = 1
@@ -316,7 +349,8 @@ class Mamba(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, packed_out: bool = False):
+        V = self.in_vars
         embed_dim = self.embed_dim or [16, 16]
         window_size = self.window_size or [(2, 4, 4), (8, 1, 1)]
         depths = self.depths or [2, 1]
@@ -324,29 +358,32 @@ class Mamba(nn.Module):
         d_conv = self.d_conv or [3, 3]
         expand = self.expand or [1, 1]
 
-        x = jnp.transpose(x, (0, 1, 3, 4, 5, 2))
-        tower = nn.vmap(
-            MambaTower,
-            in_axes=(1, None),
-            out_axes=1,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True, "droppath": True},
-            methods=["__call__"],
-        )(
-            in_chans=self.in_chans,
-            embed_dim=list(embed_dim), depths=list(depths),
-            window_size=[tuple(w) for w in window_size],
-            d_state=list(d_state), d_conv=list(d_conv), expand=list(expand),
-            dt_min=self.dt_min, dt_max=self.dt_max,
-            patch_size=tuple(self.patch_size),
-            mlp_ratio=self.mlp_ratio, drop_rate=self.drop_rate,
-            drop_path_rate=self.drop_path_rate,
-            patch_norm=self.patch_norm, use_checkpoint=self.use_checkpoint,
-            kernel_init=self.kernel_init, dtype=self.dtype,
-            name="towers",
-        )
-        y = tower(x, train)
-        return jnp.transpose(y, (0, 1, 5, 2, 3, 4))
+        x = pack_variables(x)  # [N, T, H, W, V*C]
+        n_layers = len(embed_dim)
+        total = sum(depths)
+        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
+        for i in range(n_layers):
+            lo = sum(depths[:i])
+            x = PackedMambaStage(
+                n_groups=V,
+                in_dim=embed_dim[i - 1] if i > 0 else self.in_chans,
+                patch_size=tuple(self.patch_size) if i == 0 else (1, 1, 1),
+                dim=embed_dim[i], depth=depths[i],
+                d_state=d_state[i], d_conv=d_conv[i],
+                expand=expand[i],
+                dt_min=self.dt_min, dt_max=self.dt_max,
+                window_size=tuple(window_size[i]),
+                mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
+                drop_path=dpr[lo:lo + depths[i]],
+                patch_norm=self.patch_norm and i == 0,
+                use_checkpoint=self.use_checkpoint,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                name=f"stage{i}")(x, train)
+        x = GroupedProjHead(V, embed_dim[-1], kernel_init=self.kernel_init,
+                            dtype=self.dtype, name="proj")(x)
+        if packed_out:
+            return x
+        return unpack_variables(x, V)
 
 
 # register

@@ -76,6 +76,16 @@ class LFQ(nn.Module):
     num_codebooks: int = 1
     codebook_scale: float = 1.0
     inv_temperature: float = 100.0
+    # Training-stability option (documented deviation, default OFF =
+    # reference behavior): freeze project_out. The anomaly L1
+    # (models/losses.py:127-168) is minimized by collapsing project_out's
+    # weight to 0 (then z_q == vq_0 regardless of the code bits), which
+    # deadlocks training: bits lose every gradient path and the classifier
+    # sees a constant input. Freezing the output projection removes that
+    # degenerate attractor; the L1 then supervises the code ASSIGNMENT
+    # (through the straight-through estimator) instead of the codebook
+    # geometry. See BASELINE.md "Training dynamics".
+    freeze_project_out: bool = False
 
     @property
     def codebook_dim(self) -> int:
@@ -151,6 +161,9 @@ class LFQ(nn.Module):
             jnp.array([[-scale], [scale]], jnp.float32))
         w = (z01[1] - z01[0]) / (2.0 * scale)
         b = (z01[1] + z01[0]) / 2.0
+        if self.freeze_project_out:
+            w = jax.lax.stop_gradient(w)
+            b = jax.lax.stop_gradient(b)
         return w, b
 
     def quantize_flat(self, x, *, train: bool = False) -> LFQScalarParts:
@@ -249,7 +262,11 @@ class LFQ(nn.Module):
 
         x = x.reshape(B, N, c * d)
         if self.has_projections:
-            x = self.project_out(x)
+            if self.freeze_project_out and self.codebook_dims == 1:
+                w, b = self.out_proj_params()  # stop-gradient inside
+                x = x * w + b
+            else:
+                x = self.project_out(x)
 
         if self.num_codebooks == 1:
             indices = indices[..., 0]

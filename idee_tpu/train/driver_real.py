@@ -57,6 +57,7 @@ def make_reanalysis_dataset(cfg: Config, family: str, years, is_aug: bool,
         window_size=cfg.window_size,
         x_min=cfg.x_min, x_max=cfg.x_max, y_min=cfg.y_min, y_max=cfg.y_max,
         seed=cfg.seed if seed is None else seed,
+        cache_root=cfg.cache_root,
     )
 
 
@@ -92,10 +93,12 @@ def train_real(cfg: Config, family: str, mesh=None,
     cast = {"x": jnp.bfloat16} if cfg.dtype == "bfloat16" else None
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
-                              sharding=sharding, keys=keys, cast=cast)
+                              sharding=sharding, keys=keys, cast=cast,
+                              workers=cfg.loader_workers)
     val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
                             drop_last=True, seed=cfg.seed, sharding=sharding,
-                            keys=keys_val, cast=cast)
+                            keys=keys_val, cast=cast,
+                            workers=cfg.loader_workers)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)

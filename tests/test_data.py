@@ -192,3 +192,34 @@ def test_benchmark_cube_causal_structure():
                  for v in range(4))
         ok += nv >= 2
     assert ok == len(t[sel])
+
+
+def test_netcdf3_classic_adapter(tmp_path):
+    """NetCDFFile reads classic NetCDF3 files (scipy backend) with the same
+    interface as NetCDF4/HDF5 -- string coords, selections, label lookup."""
+    from scipy.io import netcdf_file
+
+    from idee_tpu.data.netcdf import NetCDFFile
+
+    p = str(tmp_path / "classic.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("statistic", 2)
+    f.createDimension("slen", 4)
+    f.createDimension("y", 5)
+    f.createDimension("x", 6)
+    v = f.createVariable("statistic", "S1", ("statistic", "slen"))
+    v[0] = np.frombuffer(b"mean", dtype="S1")
+    v[1] = np.frombuffer(b"std\x00", dtype="S1")
+    dv = f.createVariable("t2m", "f", ("statistic", "y", "x"))
+    dv[:] = np.arange(60, dtype=np.float32).reshape(2, 5, 6)
+    f.flush()
+    f.close()
+
+    with NetCDFFile(p) as nf:
+        assert list(nf.coord("statistic")) == ["mean", "std"]
+        assert nf.label_indices("statistic", ["std"])[0] == 1
+        a = nf.read("t2m", {1: slice(1, 3)})
+        assert a.shape == (2, 2, 6)
+        np.testing.assert_allclose(a[0, 0], np.arange(6, 12))
+        a.flags.writeable  # must be a writable copy, not the mmap view
+        a[0, 0, 0] = -1.0

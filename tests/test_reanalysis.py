@@ -237,3 +237,55 @@ def test_real_train_driver_writes_panels(cerra_tree, tiny_config, tmp_path):
         tags.update(acc.Tags().get("images", []))
     for expected in ("probability", "prediction", "target", "al"):
         assert any(expected in t for t in tags), (expected, tags)
+
+
+def test_conversion_cache_matches_direct(cerra_tree, tmp_path):
+    """convert_reanalysis + cache_root serves items byte-identical to the
+    direct NetCDF path (incl. VHI labels and the missing-week fallback)."""
+    from idee_tpu.data.convert import convert_reanalysis
+
+    main, noaa = cerra_tree
+    spec = cerra_spec(8)
+    spec.grid_height = spec.grid_width = 16
+    cache = convert_reanalysis(spec, main, noaa, ["1990", "1991"],
+                               ["t2m", "tp", "al"], str(tmp_path / "cache"),
+                               alpha=0.5, x_max=16, y_max=16)
+    kw = dict(is_norm=True, is_clima_scale=False, delta_t=8)
+    ds_direct = _ds(main, noaa, **kw)
+    ds_cached = _ds(main, noaa, cache_root=cache, **kw)
+    assert ds_cached._cache is not None, "cache not engaged"
+    for i in (0, 3, len(ds_direct) - 1):
+        a, b = ds_direct[i], ds_cached[i]
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=1e-6, err_msg=k)
+
+
+def test_cache_alpha_mismatch_falls_back(cerra_tree, tmp_path):
+    from idee_tpu.data.convert import convert_reanalysis
+
+    main, noaa = cerra_tree
+    spec = cerra_spec(8)
+    spec.grid_height = spec.grid_width = 16
+    cache = convert_reanalysis(spec, main, noaa, ["1990", "1991"],
+                               ["t2m", "tp", "al"], str(tmp_path / "c2"),
+                               alpha=0.7, x_max=16, y_max=16)
+    ds = _ds(main, noaa, cache_root=cache, is_norm=False, delta_t=8)
+    assert ds._cache is None  # alpha differs from the dataset default 0.5
+
+
+def test_loader_workers_matches_serial(cerra_tree):
+    """Thread-pool batch assembly yields the same batches in the same
+    order as the serial path (shuffle off, aug off)."""
+    from idee_tpu.data.loader import DataLoader
+
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa, is_norm=False, delta_t=4)
+    serial = list(DataLoader(ds, 2, shuffle=False, drop_last=True,
+                             prefetch=0))
+    pooled = list(DataLoader(ds, 2, shuffle=False, drop_last=True,
+                             workers=3))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
