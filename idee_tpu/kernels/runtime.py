@@ -15,10 +15,20 @@ from contextlib import contextmanager
 import jax
 
 _FORCE_XLA = False
+_FORCE_PALLAS = False  # tests: exercise kernels off-TPU via interpret mode
 
 
 def use_pallas() -> bool:
-    return not _FORCE_XLA and jax.default_backend() == "tpu"
+    if _FORCE_XLA:
+        return False
+    return _FORCE_PALLAS or jax.default_backend() == "tpu"
+
+
+def set_force_pallas(value: bool) -> None:
+    """Route kernels to their Pallas implementations even off-TPU (they run
+    in interpret mode there) -- for correctness tests on CPU."""
+    global _FORCE_PALLAS
+    _FORCE_PALLAS = bool(value)
 
 
 def set_force_xla(value: bool) -> None:

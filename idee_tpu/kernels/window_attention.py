@@ -2,23 +2,27 @@
 """Fused windowed attention Pallas kernel.
 
 The Swin backbones' hot op (reference models/encoder/Swin_3D.py:145-178,
-SURVEY.md 2.9 N2): per window, softmax(q k^T * scale + rel_pos_bias
-[+ shift_mask]) v. Windows are tiny (8-32 tokens at the default window
-sizes) while their count is huge (~10k per 200x200 frame), so the TPU-first
-formulation packs P = 128 // n windows into one 128-row MXU tile and
-computes the whole tile's attention as ONE [128, hd] x [hd, 128] matmul
-with a block-diagonal additive mask: off-diagonal (cross-window) logits get
--1e9, the diagonal blocks get the shared relative-position bias plus each
-window's shift mask. One kernel invocation fuses both matmuls, the bias
-adds, and the softmax -- the XLA path round-trips the [BW, h, n, n] logits
-through HBM between each of those steps.
+SURVEY.md 2.9 N2): per window and head, softmax(q k^T * scale +
+rel_pos_bias [+ shift_mask]) v. Windows are tiny (8-32 tokens at the
+default window sizes) and with the packed towers there are G = V*heads
+bias planes, so the TPU-first formulation folds (window, head) PAIRS into
+the 128-row MXU tile: P = 128/n pairs per tile, the whole tile's attention
+as ONE [128, hd] x [hd, 128] matmul pair with a block-diagonal additive
+base (off-diagonal -1e9, diagonal = that pair's rel-pos bias + its
+window's shift mask).
 
-Autodiff: custom_vjp with the Pallas kernel on the forward pass and the
-XLA composition's VJP (recompute) on the backward pass -- training pays one
-extra fused forward; inference/serving runs fully fused.
+Shifted windows: the (bias, shift-mask) combination per tile repeats with
+a small period -- all distinct [R, R] bases are built ONCE at trace time
+(numpy) and the per-tile base is selected by a scalar-prefetch pattern-id
+vector, so masked blocks fuse exactly like unmasked ones (round 1 punted
+them to XLA).
 
-Grid: (tiles, heads). Shifted-window (masked) blocks dispatch to the XLA
-composition -- see _can_fuse.
+Backward is a second fused kernel over the same tiling: recompute s/p in
+VMEM, produce dq/dk/dv tiles and accumulate the rel-pos-bias gradient into
+a [G, n, n] block kept resident across the (sequential) grid.
+
+The XLA composition remains as the off-TPU / fallback path and the
+correctness reference in tests.
 """
 # ------------------------------------------------------------------
 
@@ -26,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,9 +41,9 @@ _NEG = -1e9
 def _xla_impl(q, k, v, bias, mask, scale: float):
     """Reference composition (reference: Swin_3D.py:145-178).
 
-    q/k/v: [BW, n, h, hd]; bias: [h, n, n]; mask: [nW, n, n] or None.
+    q/k/v: [BW, n, G, hd]; bias: [G, n, n]; mask: [nW, n, n] or None.
     """
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jnp.einsum("bngd,bmgd->bgnm", q * scale, k)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
         BW = q.shape[0]
@@ -47,136 +52,286 @@ def _xla_impl(q, k, v, bias, mask, scale: float):
         attn = attn + mask[None, :, None].astype(attn.dtype)
         attn = attn.reshape(BW, *attn.shape[2:])
     attn = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+    return jnp.einsum("bgnm,bmgd->bngd", attn, v)
 
 
-def _attend(q, k, v, s_add, out_dtype):
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = jax.nn.softmax(s + s_add, axis=-1)
-    return jax.lax.dot_general(s, v, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32).astype(
-        out_dtype)
+# ------------------------------------------------------------------
+# trace-time tile-pattern construction
+# ------------------------------------------------------------------
+
+def _tile_structure(BW: int, G: int, n: int, mask):
+    """Pair-folded tiling structure (numpy, trace-time).
+
+    Pairs are ordered (window-major, head-minor): pair = w*G + g. A tile
+    holds P = 128//n consecutive pairs. The shift mask is a trace-time
+    constant (compute_shift_mask); the rel-pos bias is a PARAMETER, so only
+    the structure is computed here -- _build_bases assembles the actual
+    [n_pat, R, R] additives on device from the live bias values.
+
+    Returns (mask_bank [K, n, n] np, gg [n_pat, P] i32, mm [n_pat, P] i32,
+             pattern_id [tiles] i32, pad_pairs). gg maps (pattern, block) ->
+             rel-pos-bias plane; the backward kernel reads it via
+             pattern_id, keeping the SMEM-prefetched tables tiny.
+    """
+    P = _ROWS // n
+    n_pairs = BW * G
+    pad = (-n_pairs) % P
+    tiles = (n_pairs + pad) // P
+
+    if mask is None:
+        mask_type = np.zeros(1, np.int64)
+        mask_bank = np.zeros((1, n, n), np.float32)
+    else:
+        mask = np.asarray(mask, np.float32)       # [nW, n, n]
+        nW = mask.shape[0]
+        mask_bank, mask_type = np.unique(mask.reshape(nW, -1), axis=0,
+                                         return_inverse=True)
+        mask_bank = mask_bank.reshape(-1, n, n)
+
+    K = len(mask_bank)
+    pair = np.arange(tiles * P, dtype=np.int64)
+    w = np.minimum(pair // G, BW - 1)            # padded pairs clamp
+    g = pair % G
+    nW_eff = 1 if mask is None else mask_type.shape[0]
+    mt = mask_type[(w % nW_eff)]
+    key = (g * K + mt).reshape(tiles, P)         # per-pair additive id
+    tile_keys, pattern_id = np.unique(key, axis=0, return_inverse=True)
+
+    gg = (tile_keys // K).astype(np.int32)       # [n_pat, P]
+    mm = (tile_keys % K).astype(np.int32)
+    return (mask_bank, gg, mm, pattern_id.astype(np.int32), pad)
 
 
-def _kernel(q_ref, k_ref, v_ref, base_ref, o_ref, *, scale: float):
-    """Blocks: q/k/v/o [1, 1, R, hd]; base [1, R, R] = shared rel-pos bias
-    on the block diagonal, -1e9 off it."""
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    o_ref[0, 0] = _attend(q, k_ref[0, 0].astype(jnp.float32),
-                          v_ref[0, 0].astype(jnp.float32), base_ref[0],
-                          o_ref.dtype)
-
-
-def _build_base(bias, n: int, P: int):
-    """[h, R, R] base additive: -1e9 off the block diagonal, the shared
-    relative-position bias on it."""
-    h = bias.shape[0]
-    base = jnp.full((h, P, n, P, n), _NEG, jnp.float32)
+def _build_bases(bias, mask_bank, gg, mm, n: int):
+    """Assemble [n_pat, R, R] additive bases on device: -1e9 off the block
+    diagonal, bias[g] + shift_mask[m] on it. bias is the live parameter."""
+    n_pat, P = gg.shape
+    blocks = (bias.astype(jnp.float32)[jnp.asarray(gg)]
+              + jnp.asarray(mask_bank)[jnp.asarray(mm)])  # [n_pat, P, n, n]
+    base = jnp.full((n_pat, P, n, P, n), _NEG, jnp.float32)
     idx = jnp.arange(P)
     base = base.at[:, idx, :, idx, :].set(
-        jnp.broadcast_to(bias[:, None], (h, P, n, n)).transpose(1, 0, 2, 3))
-    return base.reshape(h, P * n, P * n)
+        jnp.moveaxis(blocks, 1, 0))  # advanced-index axis goes first
+    return base.reshape(n_pat, P * n, P * n)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "n", "P"))
-def _pallas_impl(q, k, v, base, mask, scale: float, n: int, P: int):
-    """q/k/v: [h, tiles, R, hd]; base: [h, R, R];
-    mask: [n_patterns, P, n, n] or None (pattern period along tiles)."""
-    h, tiles, R, hd = q.shape
-    qkv_spec = pl.BlockSpec((1, 1, R, hd), lambda i, hh: (hh, i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    base_spec = pl.BlockSpec((1, R, R), lambda i, hh: (hh, 0, 0),
-                             memory_space=pltpu.VMEM)
-    flops_tile = 2 * R * R * hd * 2
-    cost = pl.CostEstimate(
-        flops=flops_tile * tiles * h,
-        bytes_accessed=(3 * R * hd + R * R + R * hd) * 4 * tiles * h,
-        transcendentals=R * R * tiles * h)
-    interpret = jax.default_backend() != "tpu"
-    if mask is None:
-        return pl.pallas_call(
-            functools.partial(_kernel, scale=scale),
-            grid=(tiles, h),
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, base_spec],
-            out_specs=qkv_spec,
-            out_shape=jax.ShapeDtypeStruct((h, tiles, R, hd), q.dtype),
-            cost_estimate=cost, interpret=interpret,
-        )(q, k, v, base)
-    raise NotImplementedError("masked tiles are dispatched to XLA")
+# ------------------------------------------------------------------
+# forward kernel
+# ------------------------------------------------------------------
+
+def _fwd_kernel(pid_ref, q_ref, k_ref, v_ref, base_ref, o_ref, *,
+                scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s + base_ref[0], axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _fwd_pallas(qp, kp, vp, bases, pattern_id, scale: float):
+    """qp/kp/vp: [tiles, R, hd]; bases: [n_pat, R, R];
+    pattern_id: [tiles] i32 (scalar-prefetch, SMEM)."""
+    tiles, R, hd = qp.shape
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+            pl.BlockSpec((1, R, R), lambda i, pid: (pid[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+    )
+    flops = 2 * R * R * hd * 2 * tiles
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid_spec=grid,
+        out_shape=jax.ShapeDtypeStruct((tiles, R, hd), qp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * tiles * R * hd * 4,
+            transcendentals=tiles * R * R),
+        interpret=jax.default_backend() != "tpu",
+    )(pattern_id, qp, kp, vp, bases)
+
+
+# ------------------------------------------------------------------
+# backward kernel
+# ------------------------------------------------------------------
+
+def _bwd_kernel(pid_ref, gg_ref, q_ref, k_ref, v_ref, base_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, db_ref, *, scale: float, n: int,
+                P: int, G: int):
+    i = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s + base_ref[0], axis=-1)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq_ref[0] = (scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
+    dk_ref[0] = (scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    # rel-pos-bias gradient: the P diagonal blocks of ds, accumulated into
+    # the resident [G, n, n] output (grid runs sequentially on TPU)
+    @pl.when(i == 0)
+    def _init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    for p_i in range(P):
+        blk = ds[p_i * n:(p_i + 1) * n, p_i * n:(p_i + 1) * n]
+        # per-pattern head-id table (tiny, SMEM): gg[pattern, p] = G-plane
+        g_plane = gg_ref[pid_ref[i], p_i]
+        sl = (pl.dslice(g_plane, 1), slice(None), slice(None))
+        db_ref[sl] = db_ref[sl] + blk[None]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "n", "P", "G"))
+def _bwd_pallas(qp, kp, vp, gp, bases, pattern_id, gg, scale: float,
+                n: int, P: int, G: int):
+    tiles, R, hd = qp.shape
+    tile_spec = pl.BlockSpec((1, R, hd), lambda i, pid, gid: (i, 0, 0))
+    grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles,),
+        in_specs=[
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec((1, R, R), lambda i, pid, gid: (pid[i], 0, 0)),
+            tile_spec,
+        ],
+        out_specs=[
+            tile_spec, tile_spec, tile_spec,
+            # constant index -> resident accumulator, written back at end
+            pl.BlockSpec((G, n, n), lambda i, pid, gid: (0, 0, 0)),
+        ],
+    )
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n=n, P=P, G=G),
+        grid_spec=grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, R, hd), f32),
+            jax.ShapeDtypeStruct((tiles, R, hd), f32),
+            jax.ShapeDtypeStruct((tiles, R, hd), f32),
+            jax.ShapeDtypeStruct((G, n, n), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * R * hd * 5 * tiles,
+            bytes_accessed=8 * tiles * R * hd * 4,
+            transcendentals=tiles * R * R),
+        interpret=jax.default_backend() != "tpu",
+    )(pattern_id, gg, qp, kp, vp, bases, gp)
+
+
+# ------------------------------------------------------------------
+# pair folding / dispatch
+# ------------------------------------------------------------------
+
+def _to_pairs(t, BW, n, G, hd, pad):
+    """[BW, n, G, hd] -> [tiles, R, hd] with pair = w*G + g rows."""
+    t = jnp.moveaxis(t, 2, 1).reshape(BW * G, n, hd)
+    if pad:
+        t = jnp.concatenate(
+            [t, jnp.zeros((pad, n, hd), t.dtype)], axis=0)
+    P = _ROWS // n
+    return t.reshape(-1, P * n, hd)
+
+
+def _from_pairs(t, BW, n, G, hd):
+    """[tiles, R, hd] -> [BW, n, G, hd]."""
+    P = _ROWS // n
+    t = t.reshape(-1, n, hd)[:BW * G]
+    return jnp.moveaxis(t.reshape(BW, G, n, hd), 1, 2)
 
 
 def _can_fuse(q, mask) -> bool:
-    # shifted (masked) blocks go through XLA: Mosaic cannot scatter the
-    # per-window mask blocks onto the tile diagonal without materialising
-    # a [n_patterns, R, R] additive tensor in HBM, which costs more than
-    # the fusion saves (measured); unmasked blocks (2 of every 3 in the
-    # default Swin config) fuse.
-    BW, n, h, hd = q.shape
-    if mask is not None:
+    BW, n, G, hd = q.shape
+    if n > _ROWS or _ROWS % n != 0:
         return False
-    return n <= _ROWS and _ROWS % n == 0
+    if mask is not None and q.shape[0] % mask.shape[0] != 0:
+        return False
+    return True
 
 
-def _fused(q, k, v, bias, mask, scale: float):
-    BW, n, h, hd = q.shape
-    P = _ROWS // n
-    R = P * n
-    pad = (-BW) % P
-    if pad:
-        zeros = jnp.zeros((pad, n, h, hd), q.dtype)
-        q, k, v = (jnp.concatenate([t, zeros], 0) for t in (q, k, v))
-    tiles = (BW + pad) // P
-
-    def to_kernel(t):  # [BW, n, h, hd] -> [h, tiles, R, hd]
-        t = t.reshape(tiles, P, n, h, hd)
-        return jnp.moveaxis(t, 3, 0).reshape(h, tiles, R, hd)
-
-    base = _build_base(bias.astype(jnp.float32), n, P)
-    m = None if mask is None else mask.astype(jnp.float32).reshape(
-        mask.shape[0] // P, P, n, n)
-    out = _pallas_impl(to_kernel(q), to_kernel(k), to_kernel(v), base, m,
-                       float(scale), n, P)
-    out = jnp.moveaxis(out.reshape(h, tiles, P, n, hd), 0, 3)
-    out = out.reshape(tiles * P, n, h, hd)
-    return out[:BW] if pad else out
+def _fused_fwd(q, k, v, bias, mask, scale):
+    """Forward-only fused path (no custom vjp; tests)."""
+    BW, n, G, hd = q.shape
+    mask_bank, gg, mm, pattern_id, pad = _tile_structure(BW, G, n, mask)
+    bases = _build_bases(bias, mask_bank, gg, mm, n)
+    qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad) for t in (q, k, v))
+    o = _fwd_pallas(qp, kp, vp, bases, jnp.asarray(pattern_id),
+                    float(scale))
+    return _from_pairs(o, BW, n, G, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def window_attention(q, k, v, bias, mask, scale):
     """softmax(q k^T * scale + bias [+ mask]) v, fused per 128-row tile.
 
-    q/k/v: [BW, n, heads, head_dim]; bias: [heads, n, n];
-    mask: [nW, n, n] additive shift mask or None (nW must divide BW).
-    Returns [BW, n, heads, head_dim].
+    q/k/v: [BW, n, G, hd] (G = folded variable*head planes);
+    bias: [G, n, n] (live parameter); mask: [nW, n, n] additive shift mask
+    or None. The mask must be a trace-time CONSTANT (the Swin modules build
+    it with numpy, Swin_3D.py:340-352 semantics) -- a traced mask falls
+    back to the XLA composition. Returns [BW, n, G, hd].
+
+    Both passes are fused Pallas kernels: the tile structure (which
+    bias/mask pattern each 128-row tile needs) is computed once at trace
+    time and closed over by a per-call custom_vjp, so autodiff never sees
+    the structure constants.
     """
     from idee_tpu.kernels.runtime import use_pallas
 
-    if use_pallas() and _can_fuse(q, mask):
-        return _fused(q, k, v, bias, mask, scale)
-    return _xla_impl(q, k, v, bias, mask, scale)
+    if (not use_pallas() or not _can_fuse(q, mask)
+            or isinstance(mask, jax.core.Tracer)):
+        return _xla_impl(q, k, v, bias, mask, scale)
 
+    BW, n, G, hd = q.shape
+    P = _ROWS // n
+    mask_bank, gg, mm, pattern_id, pad = _tile_structure(
+        BW, G, n, None if mask is None else np.asarray(mask))
+    pattern_id_j = jnp.asarray(pattern_id)
+    gg_j = jnp.asarray(gg)
 
-def _fwd(q, k, v, bias, mask, scale):
-    return window_attention(q, k, v, bias, mask, scale), (q, k, v, bias,
-                                                          mask)
+    @jax.custom_vjp
+    def attend(q, k, v, bias):
+        bases = _build_bases(bias, mask_bank, gg, mm, n)
+        qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad) for t in (q, k, v))
+        o = _fwd_pallas(qp, kp, vp, bases, pattern_id_j, float(scale))
+        return _from_pairs(o, BW, n, G, hd)
 
+    def fwd(q, k, v, bias):
+        return attend(q, k, v, bias), (q, k, v, bias)
 
-def _bwd(scale, res, g):
-    q, k, v, bias, mask = res
-    # recompute-based backward through the XLA composition
-    if mask is None:
-        out, vjp = jax.vjp(
-            lambda q_, k_, v_, b_: _xla_impl(q_, k_, v_, b_, None, scale),
-            q, k, v, bias)
-        dq, dk, dv, dbias = vjp(g)
-        dmask = None
-    else:
-        out, vjp = jax.vjp(
-            lambda q_, k_, v_, b_, m_: _xla_impl(q_, k_, v_, b_, m_, scale),
-            q, k, v, bias, mask)
-        dq, dk, dv, dbias, dmask = vjp(g)
-    return dq, dk, dv, dbias, dmask
+    def bwd(res, g):
+        q, k, v, bias = res
+        bases = _build_bases(bias, mask_bank, gg, mm, n)
+        qp, kp, vp, gp = (_to_pairs(t, BW, n, G, hd, pad)
+                          for t in (q, k, v, g))
+        dq, dk, dv, dbias = _bwd_pallas(
+            qp, kp, vp, gp, bases, pattern_id_j, gg_j, float(scale),
+            n, P, G)
+        # padded (clamped) pairs attended real data with zero upstream
+        # gradient -> their tiles are zero; nothing to correct
+        return (_from_pairs(dq, BW, n, G, hd).astype(q.dtype),
+                _from_pairs(dk, BW, n, G, hd).astype(k.dtype),
+                _from_pairs(dv, BW, n, G, hd).astype(v.dtype),
+                dbias.astype(bias.dtype))
 
-
-window_attention.defvjp(_fwd, _bwd)
+    attend.defvjp(fwd, bwd)
+    return attend(q, k, v, bias)

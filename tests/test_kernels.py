@@ -93,64 +93,102 @@ class TestLinearScan:
 
 class TestWindowAttention:
     """Fused window attention (kernels/window_attention.py) vs the XLA
-    composition (the reference math, Swin_3D.py:145-178)."""
+    composition (the reference math, Swin_3D.py:145-178). The pair-folded
+    kernel runs in interpret mode on CPU via set_force_pallas."""
 
-    def _inputs(self, BW=24, n=32, h=2, hd=8, seed=0):
+    def _inputs(self, BW=24, n=32, G=12, hd=8, seed=0):
         rng = np.random.default_rng(seed)
-        q, k, v = (jnp.asarray(rng.normal(size=(BW, n, h, hd))
+        q, k, v = (jnp.asarray(rng.normal(size=(BW, n, G, hd))
                                .astype(np.float32)) for _ in range(3))
-        bias = jnp.asarray(rng.normal(size=(h, n, n)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(G, n, n)).astype(np.float32))
         return q, k, v, bias
 
+    def _shift_mask(self, nW, n, seed=2):
+        # a handful of distinct window mask patterns, like compute_shift_mask
+        rng = np.random.default_rng(seed)
+        bank = np.where(rng.random((4, n, n)) > 0.8, -100.0, 0.0)
+        return jnp.asarray(bank[rng.integers(0, 4, nW)].astype(np.float32))
+
     def test_fused_matches_xla_interpret(self):
-        from idee_tpu.kernels.window_attention import _fused, _xla_impl
+        from idee_tpu.kernels.window_attention import _fused_fwd, _xla_impl
 
         q, k, v, bias = self._inputs()
         ref = _xla_impl(q, k, v, bias, None, 0.35)
-        fused = _fused(q, k, v, bias, None, 0.35)  # interpret mode on CPU
+        fused = _fused_fwd(q, k, v, bias, None, 0.35)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    atol=1e-5)
 
     def test_pad_to_tile(self):
-        from idee_tpu.kernels.window_attention import _fused, _xla_impl
+        from idee_tpu.kernels.window_attention import _fused_fwd, _xla_impl
 
-        # BW=10 windows of n=32 -> 3 tiles with padding
-        q, k, v, bias = self._inputs(BW=10)
+        # BW*G not a multiple of P -> padded tail tiles
+        q, k, v, bias = self._inputs(BW=10, G=3)
         ref = _xla_impl(q, k, v, bias, None, 0.2)
-        fused = _fused(q, k, v, bias, None, 0.2)
+        fused = _fused_fwd(q, k, v, bias, None, 0.2)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    atol=1e-5)
 
-    def test_custom_vjp_matches_autodiff(self):
+    def test_masked_tiles_fuse(self):
+        """Shifted-window masks now fuse (round 1 punted them to XLA)."""
+        from idee_tpu.kernels.window_attention import _fused_fwd, _xla_impl
+
+        nW = 8
+        q, k, v, bias = self._inputs(BW=3 * nW, G=4)
+        mask = self._shift_mask(nW, 32)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        fused = _fused_fwd(q, k, v, bias, mask, 0.35)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_small_window_multiple_windows_per_tile(self):
+        """n=8 -> P=16 pairs/tile spanning several windows and wrapping G."""
+        from idee_tpu.kernels.window_attention import _fused_fwd, _xla_impl
+
+        nW = 6
+        q, k, v, bias = self._inputs(BW=2 * nW, n=8, G=12)
+        mask = self._shift_mask(nW, 8)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        fused = _fused_fwd(q, k, v, bias, mask, 0.35)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_fused_backward_matches_autodiff(self):
+        """The fused backward kernel (dq/dk/dv + in-kernel dbias
+        accumulation) vs autodiff of the XLA composition, incl. masks."""
+        from idee_tpu.kernels import runtime
         from idee_tpu.kernels.window_attention import (_xla_impl,
                                                        window_attention)
 
-        q, k, v, bias = self._inputs(BW=8, n=8)
+        nW = 4
+        q, k, v, bias = self._inputs(BW=2 * nW, n=16, G=4)
+        mask = self._shift_mask(nW, 16)
         w = jnp.asarray(np.random.default_rng(1).normal(
             size=q.shape).astype(np.float32))
 
         def loss_k(q, k, v, b):
-            return jnp.sum(window_attention(q, k, v, b, None, 0.35) * w)
+            return jnp.sum(window_attention(q, k, v, b, mask, 0.35) * w)
 
         def loss_r(q, k, v, b):
-            return jnp.sum(_xla_impl(q, k, v, b, None, 0.35) * w)
+            return jnp.sum(_xla_impl(q, k, v, b, mask, 0.35) * w)
 
-        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        runtime.set_force_pallas(True)
+        try:
+            gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        finally:
+            runtime.set_force_pallas(False)
         gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, bias)
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+                                       rtol=1e-4, atol=1e-4)
 
-    def test_masked_dispatches_to_xla(self):
+    def test_unfusable_dispatches_to_xla(self):
         from idee_tpu.kernels.window_attention import (_can_fuse, _xla_impl,
                                                        window_attention)
 
-        q, k, v, bias = self._inputs()
-        mask = jnp.asarray(np.where(
-            np.random.default_rng(2).random((8, 32, 32)) > 0.8,
-            -100.0, 0.0).astype(np.float32))
-        assert not _can_fuse(q, mask)
-        out = window_attention(q, k, v, bias, mask, 0.35)
-        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        # n = 48 does not divide 128 -> XLA path
+        q, k, v, bias = self._inputs(BW=4, n=48)
+        assert not _can_fuse(q, None)
+        out = window_attention(q, k, v, bias, None, 0.35)
+        ref = _xla_impl(q, k, v, bias, None, 0.35)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
