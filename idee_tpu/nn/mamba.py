@@ -62,14 +62,29 @@ def selective_scan_packed(u, delta, A, B, C, D, z, n_groups: int):
     u, delta, z: [B_, L, V*d]; A: [V*d, n]; B, C: [B_, L, V, n] (per-variable
     SSM inputs); D: [V*d]. Returns [B_, L, V*d].
     """
-    from idee_tpu.kernels.selective_scan import linear_scan
+    from idee_tpu.kernels.selective_scan import (fused_selective_scan_n1,
+                                                 linear_scan)
 
     B_, L, M = u.shape
     V = n_groups
     d = M // V
     n = A.shape[-1]
 
-    # per-variable B/C broadcast over that variable's d_inner channels
+    if n == 1:
+        # fully fused path: producers + recurrence + consumers in one
+        # Pallas pass over [L, batch*channels]
+        def fold(t):  # [B_, L, M] -> [L, B_*M]
+            return jnp.transpose(t, (1, 0, 2)).reshape(L, B_ * M)
+
+        B_rep = fold(jnp.repeat(B[..., 0], d, axis=2))
+        C_rep = fold(jnp.repeat(C[..., 0], d, axis=2))
+        y = fused_selective_scan_n1(
+            fold(delta), fold(u), B_rep, C_rep, fold(z),
+            jnp.tile(A[:, 0], B_), jnp.tile(D, B_))
+        return jnp.transpose(y.reshape(L, B_, M), (1, 0, 2))
+
+    # general d_state: per-variable B/C broadcast over that variable's
+    # d_inner channels, scan with a trailing state axis
     B_rep = jnp.repeat(B, d, axis=2).reshape(B_, L, M, n)
     dA = jnp.exp(delta[..., None] * A)                       # [B_, L, M, n]
     dBu = (delta * u)[..., None] * B_rep

@@ -316,6 +316,45 @@ class PackedPatchEmbed3D(nn.Module):
         return x
 
 
+class PackedPatchMerging(nn.Module):
+    """2x spatial (and 2x temporal when D > 1) patch merging: concat the
+    2x2(x2) neighborhood -> LayerNorm(4C) -> Linear(4C -> 2C, no bias)
+    (reference: Swin_3D.py:290-335 -- defined but unused in the reference's
+    default path; provided per-variable on the packed layout for
+    completeness/parity)."""
+
+    n_groups: int
+    dim: int
+    kernel_init: Callable = reference_init()
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, VC = x.shape
+        V, C = self.n_groups, self.dim
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        if D % 2 and D != 1:
+            x = jnp.pad(x, ((0, 0), (0, D % 2), (0, 0), (0, 0), (0, 0)))
+        if D == 1:
+            parts = [x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
+                     x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]]
+        else:
+            parts = [x[:, 0::2, 0::2, 0::2], x[:, 1::2, 1::2, 0::2],
+                     x[:, 0::2, 0::2, 1::2], x[:, 1::2, 1::2, 1::2]]
+        # concat per VARIABLE on the channel axis: [..., V, 4C] packed
+        y = jnp.stack(parts, axis=-1)            # [..., V*C, 4]
+        sh = y.shape[:-2]
+        y = y.reshape(*sh, V, C, 4)
+        y = jnp.moveaxis(y, -1, -2).reshape(*sh, V * 4 * C)
+        y = GroupedLayerNorm3d(V, 4 * C, affine=True, dtype=self.dtype,
+                               name="norm")(y)
+        y = GroupedDense(V, 4 * C, 2 * C, use_bias=False,
+                         kernel_init=self.kernel_init, dtype=self.dtype,
+                         name="reduction")(y)
+        return y
+
+
 class PackedSwinStage(nn.Module):
     """BasicLayer: optional patch-embed downsample + depth blocks
     (reference: Swin_3D.py:355-446)."""

@@ -216,3 +216,46 @@ class TestGoldenSwin3D:
         got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
                                      train=False))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TestGoldenPatchMerging:
+    def test_matches_reference(self):
+        """PackedPatchMerging vs the reference PatchMerging
+        (Swin_3D.py:290-335; defined-but-unused in the default path)."""
+        _install_timm_stub()
+        import torch
+
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        from models.encoder.Swin_3D import PatchMerging as TorchPM
+
+        import jax
+        import jax.numpy as jnp
+
+        from idee_tpu.nn.swin3d import PackedPatchMerging
+
+        V, C = 2, 8
+        tms = [TorchPM(dim=C) for _ in range(V)]
+        for tm in tms:
+            tm.eval()
+
+        model = PackedPatchMerging(n_groups=V, dim=C)
+        x = np.random.default_rng(0).normal(
+            size=(2, 4, 6, 6, V * C)).astype(np.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.asarray(x))["params"]
+        params["norm"]["scale"] = jnp.asarray(np.stack(
+            [tm.norm.weight.detach().numpy() for tm in tms]))
+        params["norm"]["bias"] = jnp.asarray(np.stack(
+            [tm.norm.bias.detach().numpy() for tm in tms]))
+        params["reduction"]["kernel"] = jnp.asarray(np.stack(
+            [tm.reduction.weight.detach().numpy().T for tm in tms]))
+
+        got = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        with torch.no_grad():
+            for v, tm in enumerate(tms):
+                xt = torch.from_numpy(x[..., v * C:(v + 1) * C])
+                want = tm(xt).numpy()
+                np.testing.assert_allclose(
+                    got[..., v * 2 * C:(v + 1) * 2 * C], want,
+                    rtol=1e-4, atol=1e-5, err_msg=f"var {v}")
