@@ -122,6 +122,8 @@ def make_benchmark_cube(
     seed: int = 0,
     events_per_year: float = 8.0,
     distractors_per_year: float = 10.0,
+    mag_lo: float = 2.0,
+    mag_hi: float = 3.5,
     variables: Optional[List[str]] = None,
 ) -> SyntheticCube:
     """Reference-statistics synthetic benchmark cube (accuracy-parity data).
@@ -191,7 +193,7 @@ def make_benchmark_cube(
             return
         shape = np.clip(1.0 - 0.3 * r2, 0.0, None) * halo
         for v in vars_hit:
-            mag = float(rng.uniform(2.0, 3.5)) * (1 if rng.random() < 0.5
+            mag = float(rng.uniform(mag_lo, mag_hi)) * (1 if rng.random() < 0.5
                                                   else -1)
             lead = int(rng.integers(0, 4)) if is_event else 0
             lo = max(0, t0 - lead)

@@ -68,6 +68,9 @@ def _scatter_votes(vote_sum, vote_cnt, anomaly, t_index, delta_t: int):
     (anomaly_collector.__call__ semantics, utils/utils_train.py:547-554)."""
     N = anomaly.shape[0]
     V, T, H, W = vote_sum.shape
+    # each timeline slot is covered by at most delta_t windows per epoch
+    # (one per window that overlaps it), so uint8 vote sums cannot wrap
+    assert delta_t <= 255, "uint8 vote_sum would overflow; widen the dtype"
 
     def body(i, carry):
         vs, vc = carry
