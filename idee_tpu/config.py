@@ -197,6 +197,13 @@ class Config:
     # degenerate W->0 attractor; see quant/lfq.py and BASELINE.md
     # "Training dynamics"). Default OFF = exact reference behavior.
     codebook_freeze_out: bool = False
+    # weight-init sweep: "reference" = the reference's Normal(mean=.02,
+    # std=.02) over every Conv/Linear (models/build.py:110 -- mean==std, so
+    # ~84% of weights share a sign; controlled probes show it pins training
+    # at the trivial constant-prediction optimum on our benchmark data
+    # while "zero_mean" trunc_normal(std=.02) reaches F1 0.65 on the same
+    # task). Default stays "reference" for golden parity.
+    init_scheme: str = "reference"
 
     # ------------------------------------------------------------------
 

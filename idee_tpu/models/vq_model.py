@@ -111,7 +111,7 @@ def build_encoder(cfg: Config, kernel_init, dtype):
     return enc_cls(config=cfg)
 
 
-def build_quantizer(cfg: Config):
+def build_quantizer(cfg: Config, kernel_init=None):
     """Construct the configured codebook (reference hard-codes 'LFQ' with a
     TODO, models/build.py:86-91; here all five variants are selectable via
     cfg.codebook through the registry)."""
@@ -127,6 +127,7 @@ def build_quantizer(cfg: Config):
             diversity_gamma=cfg.diversity_gamma,
             commitment_loss_weight=cfg.lambda_commitment,
             freeze_project_out=getattr(cfg, "codebook_freeze_out", False),
+            kernel_init=kernel_init,
         )
     if name == "VQ":
         return cls(
@@ -175,7 +176,15 @@ class VQModel(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        init = reference_init()  # models/build.py:96-118 overrides all inits
+        # models/build.py:96-118 overrides every Conv/Linear init with
+        # Normal(0.02, 0.02); init_scheme="zero_mean" is the documented
+        # trainability fix (see config.py)
+        if getattr(cfg, "init_scheme", "reference") == "zero_mean":
+            from idee_tpu.nn.layers import trunc_normal_init
+
+            init = trunc_normal_init(0.02)
+        else:
+            init = reference_init()
 
         self.encoder = build_encoder(cfg, init, dtype)
 
@@ -187,7 +196,7 @@ class VQModel(nn.Module):
             kernel_init=init,
             dtype=dtype,
         )
-        self.vq = build_quantizer(cfg)
+        self.vq = build_quantizer(cfg, kernel_init=init)
 
     def normal_code(self):
         """vq.indices_to_codes(0): the feature-space 'normal' code vector."""

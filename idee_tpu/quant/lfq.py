@@ -76,6 +76,7 @@ class LFQ(nn.Module):
     num_codebooks: int = 1
     codebook_scale: float = 1.0
     inv_temperature: float = 100.0
+    kernel_init: object = None  # None -> reference_init (build.py:96-118)
     # Training-stability option (documented deviation, default OFF =
     # reference behavior): freeze project_out. The anomaly L1
     # (models/losses.py:127-168) is minimized by collapsing project_out's
@@ -106,11 +107,12 @@ class LFQ(nn.Module):
         # Normal(0.02, 0.02) after construction (models/build.py:96-118)
         from idee_tpu.nn.layers import reference_init
 
+        init = self.kernel_init or reference_init()
         if self.has_projections:
             self.project_in = nn.Dense(self.codebook_dims, dtype=jnp.float32,
-                                       kernel_init=reference_init())
+                                       kernel_init=init)
             self.project_out = nn.Dense(self.dim, dtype=jnp.float32,
-                                        kernel_init=reference_init())
+                                        kernel_init=init)
         # bit weights, MSB first (reference: :134)
         self.mask = 2 ** jnp.arange(self.codebook_dim - 1, -1, -1, dtype=jnp.int32)
 
