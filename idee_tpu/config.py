@@ -204,6 +204,10 @@ class Config:
     # while "zero_mean" trunc_normal(std=.02) reaches F1 0.65 on the same
     # task). Default stays "reference" for golden parity.
     init_scheme: str = "reference"
+    # LFQ entropy-loss softmax sharpness (reference hard-codes 100 at
+    # LFQ.py:239-240, which kills the diversity gradient for |s| > ~0.02;
+    # smaller values keep the anti-collapse force alive)
+    codebook_inv_temperature: float = 100.0
 
     # ------------------------------------------------------------------
 

@@ -127,6 +127,7 @@ def build_quantizer(cfg: Config, kernel_init=None):
             diversity_gamma=cfg.diversity_gamma,
             commitment_loss_weight=cfg.lambda_commitment,
             freeze_project_out=getattr(cfg, "codebook_freeze_out", False),
+            inv_temperature=getattr(cfg, "codebook_inv_temperature", 100.0),
             kernel_init=kernel_init,
         )
     if name == "VQ":
