@@ -180,10 +180,17 @@ class VQModel(nn.Module):
         # models/build.py:96-118 overrides every Conv/Linear init with
         # Normal(0.02, 0.02); init_scheme="zero_mean" is the documented
         # trainability fix (see config.py)
-        if getattr(cfg, "init_scheme", "reference") == "zero_mean":
+        scheme = getattr(cfg, "init_scheme", "reference")
+        if scheme == "zero_mean":
             from idee_tpu.nn.layers import trunc_normal_init
 
             init = trunc_normal_init(0.02)
+        elif scheme == "lecun":
+            # None -> per-module fan-in-scaled (lecun) defaults; keeps the
+            # STE gradient path through the 1-bit LFQ projections at O(1)
+            # (reference-scale 0.02 projections attenuate the encoder
+            # gradient ~300x below the classifier's -- BASELINE.md)
+            init = None
         else:
             init = reference_init()
 

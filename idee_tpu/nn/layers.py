@@ -32,6 +32,18 @@ def reference_init(mean: float = 0.02, std: float = 0.02) -> Callable:
     return init
 
 
+def lecun_normal_init(fan_in: int) -> Callable:
+    """Normal(0, 1/sqrt(fan_in)) -- correct per-group fan-in for the
+    stacked [V, ...] parameter shapes, where flax's variance_scaling would
+    wrongly count the variable axis into fan_in."""
+    std = fan_in ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
 def trunc_normal_init(std: float = 0.02) -> Callable:
     """Truncated normal at +/-2 std (timm trunc_normal_ semantics)."""
 
@@ -55,7 +67,7 @@ class Conv3d(nn.Module):
     padding: Sequence[Tuple[int, int]] = ((1, 1), (1, 1), (1, 1))
     padding_mode: str = "zeros"  # "zeros" | "replicate"
     use_bias: bool = True
-    kernel_init: Callable = reference_init()
+    kernel_init: Optional[Callable] = reference_init()
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -68,15 +80,17 @@ class Conv3d(nn.Module):
             conv_pad = "VALID"
         else:
             conv_pad = pad
+        kw = {} if self.kernel_init is None else {
+            "kernel_init": self.kernel_init}
         return nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
             strides=self.strides,
             padding=conv_pad,
             use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros_init(),
             dtype=self.dtype,
+            **kw,
         )(x)
 
 
@@ -135,14 +149,15 @@ class GroupedConv3d(nn.Module):
     padding: Sequence[Tuple[int, int]] = ((1, 1), (1, 1), (1, 1))
     padding_mode: str = "zeros"  # "zeros" | "replicate"
     use_bias: bool = True
-    kernel_init: Callable = reference_init()
+    kernel_init: Optional[Callable] = reference_init()
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         V, cin, cout = self.n_groups, self.in_features, self.features
         kd, kh, kw = self.kernel_size
-        kernel = self.param("kernel", self.kernel_init,
+        init = self.kernel_init or lecun_normal_init(kd * kh * kw * cin)
+        kernel = self.param("kernel", init,
                             (V, kd, kh, kw, cin, cout), jnp.float32)
         pad = [tuple(p) for p in self.padding]
         if self.padding_mode == "replicate" and any(p != (0, 0) for p in pad):
@@ -186,14 +201,15 @@ class GroupedDense(nn.Module):
     in_features: int
     features: int
     use_bias: bool = True
-    kernel_init: Callable = reference_init()
+    kernel_init: Optional[Callable] = reference_init()
     bias_init: Callable = nn.initializers.zeros_init()
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         V, fin, fout = self.n_groups, self.in_features, self.features
-        kernel = self.param("kernel", self.kernel_init, (V, fin, fout),
+        init = self.kernel_init or lecun_normal_init(fin)
+        kernel = self.param("kernel", init, (V, fin, fout),
                             jnp.float32)
         dtype = self.dtype or x.dtype
         eye = jnp.eye(V, dtype=dtype)
@@ -252,17 +268,17 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop: float = 0.0
-    kernel_init: Callable = reference_init()
+    kernel_init: Optional[Callable] = reference_init()
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Dense(self.hidden_features, kernel_init=self.kernel_init,
-                     dtype=self.dtype)(x)
+        kw = {} if self.kernel_init is None else {
+            "kernel_init": self.kernel_init}
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, **kw)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out_features, kernel_init=self.kernel_init,
-                     dtype=self.dtype)(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, **kw)(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x
 

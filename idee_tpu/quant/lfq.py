@@ -105,14 +105,12 @@ class LFQ(nn.Module):
     def setup(self):
         # the reference composite model re-initializes every Linear with
         # Normal(0.02, 0.02) after construction (models/build.py:96-118)
-        from idee_tpu.nn.layers import reference_init
-
-        init = self.kernel_init or reference_init()
+        kw = {} if self.kernel_init is None else {
+            "kernel_init": self.kernel_init}
         if self.has_projections:
             self.project_in = nn.Dense(self.codebook_dims, dtype=jnp.float32,
-                                       kernel_init=init)
-            self.project_out = nn.Dense(self.dim, dtype=jnp.float32,
-                                        kernel_init=init)
+                                       **kw)
+            self.project_out = nn.Dense(self.dim, dtype=jnp.float32, **kw)
         # bit weights, MSB first (reference: :134)
         self.mask = 2 ** jnp.arange(self.codebook_dim - 1, -1, -1, dtype=jnp.int32)
 
