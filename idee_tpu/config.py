@@ -204,6 +204,14 @@ class Config:
     # while "zero_mean" trunc_normal(std=.02) reaches F1 0.65 on the same
     # task). Default stays "reference" for golden parity.
     init_scheme: str = "reference"
+    # anomaly-L1 curriculum: keep lambda_anomaly at 0 for the first
+    # `anomaly_warmup_epochs`, then ramp linearly to full strength over
+    # `anomaly_ramp_epochs` (0/0 = reference behavior, L1 always on).
+    # The controlled study (BASELINE.md "Training dynamics") shows the
+    # classifier must first learn to READ the code bits before the L1
+    # sparsifies them, otherwise training lands in the constant-bit basin.
+    anomaly_warmup_epochs: int = 0
+    anomaly_ramp_epochs: int = 0
     # LFQ entropy-loss softmax sharpness (reference hard-codes 100 at
     # LFQ.py:239-240, which kills the diversity gradient for |s| > ~0.02;
     # smaller values keep the anti-collapse force alive)

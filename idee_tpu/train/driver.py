@@ -153,7 +153,8 @@ def train_synthetic(cfg: Config,
         start_epoch = int(restored["meta"]["epoch"]) + 1
         log_string(logger, f"auto-resumed from epoch {start_epoch}")
 
-    train_step = make_train_step(model, cfg, t0=float(train_ds.timestep[0]))
+    train_step = make_train_step(model, cfg, t0=float(train_ds.timestep[0]),
+                                 steps_per_epoch=len(train_loader))
     eval_step = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]))
     eval_step_preds = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]),
                                      return_preds=True)

@@ -106,11 +106,16 @@ def _accumulate(metrics, comps, out, batch, t0: float, delta_t: int,
     return metrics, pred, pred_c
 
 
-def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True):
+def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True,
+                    steps_per_epoch: int = 0):
     """Returns jitted step(state, metrics, batch) -> (state, metrics).
 
     t0: absolute timestep of the dataset's first timeline slot
-    (dataset.timestep[0])."""
+    (dataset.timestep[0]). steps_per_epoch enables the anomaly-L1
+    curriculum (cfg.anomaly_warmup_epochs / anomaly_ramp_epochs)."""
+    warm = getattr(cfg, "anomaly_warmup_epochs", 0) * steps_per_epoch
+    ramp = max(getattr(cfg, "anomaly_ramp_epochs", 0) * steps_per_epoch, 1)
+    use_ramp = warm > 0 or getattr(cfg, "anomaly_ramp_epochs", 0) > 0
 
     def step(state, metrics, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -134,9 +139,13 @@ def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True):
             else:
                 out = model.apply(variables, batch["x"], **kw)
                 updated = {}
+            lam = cfg.lambda_anomaly
+            if use_ramp:
+                lam = lam * jnp.clip(
+                    (state.step - warm) / ramp, 0.0, 1.0)
             loss, comps = losses.total_loss_synthetic(
                 out, batch["mask_extreme"], batch["mask_extreme_loss"],
-                cfg.lambda_anomaly,
+                lam,
             )
             return loss, (out, comps, updated)
 
