@@ -48,6 +48,20 @@ class TestLinearScan:
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_pallas_long_sequence_grid_carry(self):
+        """L > _UNROLL_MAX routes to the grid-carried kernel (time axis in
+        the sequential Pallas grid, state in VMEM scratch)."""
+        from idee_tpu.kernels.selective_scan import _UNROLL_MAX
+
+        rng = np.random.default_rng(7)
+        L, M = _UNROLL_MAX + 16, 1024
+        a = jnp.asarray(rng.uniform(0.0, 1.0, (L, M)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(L, M)).astype(np.float32))
+        h_p = _scan_pallas_2d(a, b, interpret=True)
+        h_x = _scan_xla(a, b)
+        np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_axis_and_shape_handling(self):
         rng = np.random.default_rng(2)
         a = jnp.asarray(rng.uniform(0.2, 0.9, (3, 8, 4, 2)).astype(np.float32))
@@ -214,6 +228,23 @@ class TestFusedSelectiveScan:
                                                      fused_selective_scan_n1)
 
         args = self._inputs()
+        ref, _ = _fused_xla(*args)
+        runtime.set_force_pallas(True)
+        try:
+            got = fused_selective_scan_n1(*args)
+        finally:
+            runtime.set_force_pallas(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_long_sequence_grid_carry(self):
+        """L > _UNROLL_MAX routes the fused kernel to its grid-carried
+        variant."""
+        from idee_tpu.kernels import runtime
+        from idee_tpu.kernels.selective_scan import (_UNROLL_MAX, _fused_xla,
+                                                     fused_selective_scan_n1)
+
+        args = self._inputs(L=_UNROLL_MAX + 8, M=1024, seed=11)
         ref, _ = _fused_xla(*args)
         runtime.set_force_pallas(True)
         try:
