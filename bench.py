@@ -6,7 +6,10 @@ The BASELINE.json north-star workload: 6 variables x 1 channel x delta_t=8
 weeks on a 200x200 grid, full train step (fwd+bwd+update+metric counters),
 batch_size 1 (the reference default, config.py:25).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline value is the FLAGSHIP (Swin_3D) unless BENCH_ENCODER narrows
+the run; "extra" carries the per-encoder rows (CNN_3D, Swin_3D, Mamba) so
+the graded artifact records the whole backbone family (VERDICT r2 #2).
 
 vs_baseline: ratio vs the REFERENCE torch implementation's train step
 (train_synthetic.py:170-215 loss composition), measured on this host's CPU
@@ -16,7 +19,7 @@ host is the only hardware-anchored baseline available; BASELINE.md carries
 the full cross-hardware table.
 
 Env knobs:
-  BENCH_ENCODER   CNN_3D | Swin_3D | Mamba        (default CNN_3D)
+  BENCH_ENCODER   CNN_3D | Swin_3D | Mamba | all  (default all)
   BENCH_BATCH     per-step batch size             (default 1)
   BENCH_HW        grid size                       (default 200)
   BENCH_DTYPE     bfloat16 | float32              (default bfloat16)
@@ -52,14 +55,13 @@ REFERENCE_CPU_STEPS_PER_SEC = {
     "Mamba": None,    # reference Mamba needs mamba_ssm CUDA; unmeasurable
 }
 
+FLAGSHIP = "Swin_3D"
 
-def main():
+
+def bench_one(encoder: str) -> float:
+    """Median steps/sec for one encoder at the env-configured workload."""
     import jax
-
-    if os.environ.get("BENCH_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-
-    import numpy as np
+    import jax.numpy as jnp
 
     from idee_tpu.config import synthetic_config
     from idee_tpu.data.fake import make_fake_cube
@@ -69,17 +71,12 @@ def main():
     from idee_tpu.train.state import create_train_state
     from idee_tpu.train.steps import init_epoch_metrics, make_train_step
 
-    encoder = os.environ.get("BENCH_ENCODER", "CNN_3D")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     hw = int(os.environ.get("BENCH_HW", "200"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", "50"))
     n_repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     host_pipe = os.environ.get("BENCH_HOST_PIPE", "0") == "1"
-
-    if jax.default_backend() == "cpu":
-        from idee_tpu.kernels.runtime import set_force_xla
-        set_force_xla(True)  # Pallas compiles only for TPU
 
     cfg = synthetic_config(
         encoder=encoder, dtype=dtype, batch_size=batch,
@@ -94,7 +91,6 @@ def main():
                           delta_t=cfg.delta_t, is_aug=False, is_norm=True,
                           is_clima_scale=False,
                           x_min=0, x_max=hw, y_min=0, y_max=hw)
-    import jax.numpy as jnp
 
     # upload only what the train step consumes, in the compute dtype --
     # host->device bandwidth over the TPU tunnel is a first-order cost
@@ -164,17 +160,50 @@ def main():
     sps = statistics.median(run_once() for _ in range(n_repeat))
     if host_pipe:
         it.close()  # stop the prefetch thread before interpreter teardown
+    return sps
 
-    ref = REFERENCE_CPU_STEPS_PER_SEC.get(encoder)
-    vs = round(sps / ref, 3) if ref else None
-    mode = "host-pipe" if host_pipe else "device-pool"
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    if jax.default_backend() == "cpu":
+        from idee_tpu.kernels.runtime import set_force_xla
+        set_force_xla(True)  # Pallas compiles only for TPU
+
+    sel = os.environ.get("BENCH_ENCODER", "all")
+    encoders = (["CNN_3D", "Swin_3D", "Mamba"] if sel in ("all", "")
+                else [sel])
+
+    batch = os.environ.get("BENCH_BATCH", "1")
+    hw = os.environ.get("BENCH_HW", "200")
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    n_repeat = os.environ.get("BENCH_REPEAT", "3")
+    mode = ("host-pipe" if os.environ.get("BENCH_HOST_PIPE", "0") == "1"
+            else "device-pool")
+
+    extra = {}
+    for enc in encoders:
+        sps = bench_one(enc)
+        ref = REFERENCE_CPU_STEPS_PER_SEC.get(enc)
+        extra[enc] = {
+            "steps_per_sec": round(sps, 3),
+            "vs_torch_cpu_reference": round(sps / ref, 1) if ref else None,
+        }
+
+    headline = FLAGSHIP if FLAGSHIP in extra else encoders[0]
+    sps = extra[headline]["steps_per_sec"]
+    ref = REFERENCE_CPU_STEPS_PER_SEC.get(headline)
     print(json.dumps({
-        "metric": f"synthetic {hw}x{hw} train steps/sec/chip ({encoder}, "
+        "metric": f"synthetic {hw}x{hw} train steps/sec/chip ({headline}, "
                   f"batch {batch}, {dtype}, {mode}, "
                   f"median of {n_repeat})",
-        "value": round(sps, 3),
+        "value": sps,
         "unit": "steps/sec",
-        "vs_baseline": vs,
+        "vs_baseline": round(sps / ref, 3) if ref else None,
+        "extra": extra,
     }))
 
 

@@ -63,10 +63,12 @@ def _scan_xla(a, b):
 # round-2 kernel ran the recurrence as a fori_loop with a loop-carried
 # [8, 128] value and dynamic t-indexed VMEM loads/stores; that version
 # passed interpret-mode tests but never returned on the real chip (VERDICT
-# round 2, weak #1).  For long sequences (> _UNROLL_MAX) the time axis is
-# placed in the sequential Pallas grid instead, with the state carried in
-# VMEM scratch across grid steps -- the same program structure as the
-# proven window-attention kernel (window_attention.py:170-213).
+# round 2, weak #1).  A grid-carried rewrite (time axis in the sequential
+# Pallas grid, state in VMEM scratch) ALSO hung on silicon
+# (scripts/smoke_kernels.py scan_long/fused_long, 2026-08-17), so long
+# sequences use a two-level blocked scan instead: chunks of _UNROLL_MAX run
+# through the proven unrolled kernel (all chunks in parallel on the M axis),
+# and the tiny cross-chunk carry recurrence runs in XLA.
 _UNROLL_MAX = 64
 
 
@@ -78,58 +80,68 @@ def _scan_kernel_unrolled(a_ref, b_ref, h_ref):
         h_ref[t, 0] = h
 
 
-def _scan_kernel_carry(a_ref, b_ref, h_ref, carry):
-    """Grid (G, L); blocks [1, 1, 8, 128]; carry: VMEM [8, 128] scratch.
-
-    The TPU grid executes sequentially with the last axis fastest, so the
-    scratch value written at step t is the state read at step t+1 of the
-    same M-tile."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        carry[...] = jnp.zeros((_SUB, _LANE), jnp.float32)
-
-    h = a_ref[0, 0] * carry[...] + b_ref[0, 0]
-    carry[...] = h
-    h_ref[0, 0] = h
+def _scan_pallas_small(a, b, interpret):
+    """One unrolled-kernel call; a/b [L, M], L <= _UNROLL_MAX, M % 1024 == 0."""
+    L, M = a.shape
+    G = M // _TILE
+    spec = pl.BlockSpec((L, 1, _SUB, _LANE), lambda j: (0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    h = pl.pallas_call(
+        _scan_kernel_unrolled,
+        grid=(G,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * M, bytes_accessed=3 * L * M * 4, transcendentals=0),
+        interpret=interpret,
+    )(a.reshape(L, G, _SUB, _LANE), b.reshape(L, G, _SUB, _LANE))
+    return h.reshape(L, M)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_pallas_2d(a, b, interpret=False):
     """a, b: [L, M] float32, M % 1024 == 0."""
     L, M = a.shape
-    G = M // _TILE
-    a4 = a.reshape(L, G, _SUB, _LANE)
-    b4 = b.reshape(L, G, _SUB, _LANE)
-    cost = pl.CostEstimate(
-        flops=2 * L * M, bytes_accessed=3 * L * M * 4, transcendentals=0)
     if L <= _UNROLL_MAX:
-        spec = pl.BlockSpec((L, 1, _SUB, _LANE), lambda j: (0, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-        h = pl.pallas_call(
-            _scan_kernel_unrolled,
-            grid=(G,),
-            in_specs=[spec, spec],
-            out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(a4, b4)
-    else:
-        spec = pl.BlockSpec((1, 1, _SUB, _LANE), lambda j, t: (t, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-        h = pl.pallas_call(
-            _scan_kernel_carry,
-            grid=(G, L),
-            in_specs=[spec, spec],
-            out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
-            cost_estimate=cost,
-            interpret=interpret,
-        )(a4, b4)
-    return h.reshape(L, M)
+        return _scan_pallas_small(a, b, interpret)
+
+    # two-level blocked scan: local scans per chunk (one kernel call, all
+    # chunks folded onto the M axis), then the cross-chunk carry
+    #   s_c = P_c s_{c-1} + h_c[last]   (P_c = prod of a over chunk c)
+    # combined in XLA (C elements -- trivial), and the carry broadcast back
+    # via the in-chunk prefix products p:  h[c, t] += p[c, t] * s_{c-1}.
+    Lc = _UNROLL_MAX
+    C = -(-L // Lc)
+    pad_t = C * Lc - L
+    if pad_t:  # pad the tail with the scan identity (a=1, b=0)
+        a = jnp.concatenate([a, jnp.ones((pad_t, M), a.dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad_t, M), b.dtype)], axis=0)
+
+    def fold(t):  # [C*Lc, M] -> [Lc, C*M]
+        return t.reshape(C, Lc, M).transpose(1, 0, 2).reshape(Lc, C * M)
+
+    def unfold(t):  # [Lc, C*M] -> [C, Lc, M]
+        return t.reshape(Lc, C, M).transpose(1, 0, 2)
+
+    af = fold(a)
+    h_local = unfold(_scan_pallas_small(af, fold(b), interpret))
+    # in-chunk prefix products: the same recurrence with b' = (a_0, 0, ...)
+    bp = jnp.concatenate([af[:1], jnp.zeros((Lc - 1, C * M), a.dtype)],
+                         axis=0)
+    p = unfold(_scan_pallas_small(af, bp, interpret))        # [C, Lc, M]
+
+    def combine(left, right):
+        p_l, s_l = left
+        p_r, s_r = right
+        return p_l * p_r, p_r * s_l + s_r
+
+    _, s = jax.lax.associative_scan(combine, (p[:, -1], h_local[:, -1]),
+                                    axis=0)                  # [C, M]
+    carry_in = jnp.concatenate([jnp.zeros_like(s[:1]), s[:-1]], axis=0)
+    h = h_local + p * carry_in[:, None, :]
+    h = h.reshape(C * Lc, M)
+    return h[:L] if pad_t else h
 
 
 def _use_pallas() -> bool:
@@ -196,79 +208,42 @@ def _fused_kernel_unrolled(delta_ref, u_ref, b_ref, c_ref, z_ref, A_ref,
         y_ref[t, 0] = y * (zz * jax.nn.sigmoid(zz))
 
 
-def _fused_kernel_carry(delta_ref, u_ref, b_ref, c_ref, z_ref, A_ref,
-                        D_ref, y_ref, h_ref, carry):
-    """Grid (G, L) variant for long sequences; state in VMEM scratch."""
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        carry[...] = jnp.zeros((_SUB, _LANE), jnp.float32)
-
-    A = A_ref[0]
-    D = D_ref[0]
-    dl = delta_ref[0, 0]
-    uu = u_ref[0, 0]
-    h = jnp.exp(dl * A) * carry[...] + dl * uu * b_ref[0, 0]
-    carry[...] = h
-    h_ref[0, 0] = h
-    y = c_ref[0, 0] * h + D * uu
-    zz = z_ref[0, 0]
-    y_ref[0, 0] = y * (zz * jax.nn.sigmoid(zz))
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_pallas(delta, u, B, C, z, A, D, interpret=False):
-    """All [L, M] except A/D [M]; M % 1024 == 0. Returns (y, h)."""
+    """All [L, M] except A/D [M]; M % 1024 == 0; L <= _UNROLL_MAX.
+    Returns (y, h)."""
     L, M = delta.shape
     G = M // _TILE
 
     def r4(t):
         return t.reshape(L, G, _SUB, _LANE)
 
-    cost = pl.CostEstimate(
-        flops=10 * L * M, bytes_accessed=7 * L * M * 4,
-        transcendentals=2 * L * M)
-    out_shape = [jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
-                 jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32)]
-    if L <= _UNROLL_MAX:
-        spec = pl.BlockSpec((L, 1, _SUB, _LANE), lambda j: (0, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-        vspec = pl.BlockSpec((1, _SUB, _LANE), lambda j: (j, 0, 0),
-                             memory_space=pltpu.VMEM)
-        y, h = pl.pallas_call(
-            _fused_kernel_unrolled,
-            grid=(G,),
-            in_specs=[spec] * 5 + [vspec, vspec],
-            out_specs=[spec, spec],
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(r4(delta), r4(u), r4(B), r4(C), r4(z),
-          A.reshape(G, _SUB, _LANE), D.reshape(G, _SUB, _LANE))
-    else:
-        spec = pl.BlockSpec((1, 1, _SUB, _LANE), lambda j, t: (t, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-        vspec = pl.BlockSpec((1, _SUB, _LANE), lambda j, t: (j, 0, 0),
-                             memory_space=pltpu.VMEM)
-        y, h = pl.pallas_call(
-            _fused_kernel_carry,
-            grid=(G, L),
-            in_specs=[spec] * 5 + [vspec, vspec],
-            out_specs=[spec, spec],
-            out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((_SUB, _LANE), jnp.float32)],
-            cost_estimate=cost,
-            interpret=interpret,
-        )(r4(delta), r4(u), r4(B), r4(C), r4(z),
-          A.reshape(G, _SUB, _LANE), D.reshape(G, _SUB, _LANE))
+    spec = pl.BlockSpec((L, 1, _SUB, _LANE), lambda j: (0, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, _SUB, _LANE), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    y, h = pl.pallas_call(
+        _fused_kernel_unrolled,
+        grid=(G,),
+        in_specs=[spec] * 5 + [vspec, vspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((L, G, _SUB, _LANE), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * L * M, bytes_accessed=7 * L * M * 4,
+            transcendentals=2 * L * M),
+        interpret=interpret,
+    )(r4(delta), r4(u), r4(B), r4(C), r4(z),
+      A.reshape(G, _SUB, _LANE), D.reshape(G, _SUB, _LANE))
     return y.reshape(L, M), h.reshape(L, M)
 
 
 def _fused_xla(delta, u, B, C, z, A, D):
-    """Reference composition for the fused op (d_state = 1)."""
+    """Reference composition for the fused op (d_state = 1). The scan
+    itself still goes through the dispatcher, so long sequences use the
+    blocked Pallas scan when kernels are enabled."""
     a = jnp.exp(delta * A)
-    h = _scan_xla(a, delta * u * B)
+    h = _scan_front(a, delta * u * B)
     y = C * h + D * u
     return y * jax.nn.silu(z), h
 
@@ -289,7 +264,10 @@ def fused_selective_scan_n1(delta, u, B, C, z, A, D):
 
 
 def _fused_fwd_impl(delta, u, B, C, z, A, D):
-    if not _use_pallas():
+    # long sequences (never produced by the model's tiny windows) fall back
+    # to the XLA composition, whose scan is the blocked-Pallas linear scan
+    # when enabled -- only the producer/consumer fusion is lost
+    if not _use_pallas() or delta.shape[0] > _UNROLL_MAX:
         return _fused_xla(delta, u, B, C, z, A, D)
     L, M = delta.shape
     pad = (-M) % _TILE

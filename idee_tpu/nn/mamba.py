@@ -126,21 +126,21 @@ class PackedMambaSSM(nn.Module):
         z = xz[:, :, :, 1].reshape(B_, L, V * d_inner)
 
         # causal depthwise conv over the token axis (padding=d_conv-1 then
-        # truncate, mamba_ssm semantics); depthwise is already per-channel,
-        # so the packed form is the SAME op on V*d_inner channels
+        # truncate, mamba_ssm semantics). A depthwise conv with d_conv taps
+        # is d_conv shifted multiply-adds -- written that way instead of a
+        # feature_group_count=V*d_inner conv_general_dilated, which XLA:TPU
+        # lowers per-group (compile-time and launch overhead for 96 groups,
+        # zero MXU work since every "matmul" is 1x1)
         conv_k = self.param("conv1d_kernel", self.kernel_init,
                             (V, self.d_conv, 1, d_inner))
         conv_b = self.param("conv1d_bias", nn.initializers.zeros_init(),
                             (V, d_inner))
-        k = jnp.transpose(conv_k, (1, 2, 0, 3)).reshape(
-            self.d_conv, 1, V * d_inner)
+        taps = jnp.transpose(conv_k, (1, 2, 0, 3)).reshape(
+            self.d_conv, V * d_inner).astype(u.dtype)
         u_pad = jnp.pad(u, ((0, 0), (self.d_conv - 1, 0), (0, 0)))
-        u = jax.lax.conv_general_dilated(
-            u_pad.astype(k.dtype), k,
-            window_strides=(1,), padding="VALID",
-            dimension_numbers=("NLC", "LIO", "NLC"),
-            feature_group_count=V * d_inner,
-        )[:, :L] + conv_b.reshape(V * d_inner)
+        acc = conv_b.reshape(V * d_inner).astype(u.dtype)
+        u = sum(u_pad[:, i:i + L] * taps[i]
+                for i in range(self.d_conv)) + acc
         u = jax.nn.silu(u)
 
         x_dbl = GroupedDense(V, d_inner, dt_rank + 2 * n, use_bias=False,

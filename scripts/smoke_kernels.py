@@ -37,10 +37,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CHECKS = [
     "scan_short",    # unrolled kernel, model-shaped L
-    "scan_long",     # grid-carried kernel (L > _UNROLL_MAX)
+    "scan_long",     # two-level blocked scan (L > _UNROLL_MAX)
     "scan_grad",     # custom-VJP backward (reverse scan kernel)
     "fused_short",   # fused d_state=1 SSM kernel, unrolled
-    "fused_long",    # fused kernel, grid-carried
+    "fused_long",    # long-L fused: XLA composition + blocked scan
     "fused_grad",    # fused custom-VJP backward
     "attn_fwd",      # pair-folded window attention, shifted masks
     "attn_bwd",      # fused attention backward incl. rel-pos-bias grad
@@ -123,15 +123,25 @@ def run_check(name: str) -> dict:
 
     def compare(fn, args, grad_argnums=None):
         if grad_argnums is not None:
+            inner = fn
+
             def scalar(*a):
-                out = fn(*a)
+                out = inner(*a)
                 lead = out[0] if isinstance(out, tuple) else out
                 return jnp.sum(jnp.cos(lead))
 
             fn = jax.grad(scalar, argnums=grad_argnums)
+        # jit each path SEPARATELY (distinct wrappers -> distinct traces):
+        # the pallas/xla dispatch flag is read at trace time, and an
+        # un-jitted grad would execute the backward op-by-op -- dozens of
+        # eager dispatches over the ~30ms tunnel masquerade as a hang
+        base = fn
+        fn = jax.jit(lambda *a: base(*a))
+        args = jax.device_put(args)  # upload once; time the program, not H2D
         got = jax.device_get(fn(*args))
         with runtime.force_xla():
-            want = jax.device_get(fn(*args))
+            fn_xla = jax.jit(lambda *a: base(*a))
+            want = jax.device_get(fn_xla(*args))
         got_l = got if isinstance(got, (tuple, list)) else [got]
         want_l = want if isinstance(want, (tuple, list)) else [want]
         err = max(

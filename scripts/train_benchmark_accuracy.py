@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+# ------------------------------------------------------------------
+"""Accuracy run at the published geometry (200x200) on the benchmark cube.
+
+VERDICT r2 #3: record extremes F1/IoU and majority-vote driver F1 for the
+backbones at the reference's synthetic geometry (reference config.py:94-108:
+200x200, delta_t=8, 6 vars; splits 34y/6y of 52 weeks), on
+make_benchmark_cube data (the real 46 GB benchmark is not downloadable
+here; data/fake.py documents the generator's causal anomaly->extreme
+structure).
+
+Uses the stable training recipe established by the round-2 study
+(BASELINE.md "Training dynamics": init_scheme=lecun,
+codebook_freeze_out=true, lambda_commitment=0, lambda_anomaly=0 -- the
+reference's own settings collapse, see scripts/reference_collapse_control.py
+for the torch-side control). Data lives on-device (device_data); metrics
+follow the reference evaluator semantics exactly (train/metrics.py).
+
+Usage:
+  python scripts/train_benchmark_accuracy.py --encoder CNN_3D \
+      --epochs 15 --out /tmp/acc_cnn.json
+"""
+# ------------------------------------------------------------------
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoder", default="CNN_3D")
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--hw", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--years", type=int, default=40,
+                    help="total cube length in years (34 train / rest val)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--name", default=None)
+    ap.add_argument("--dir_log", default="/tmp/acc_runs")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    name = args.name or f"acc_{args.encoder}_{args.hw}"
+    out = args.out or f"/tmp/{name}.json"
+
+    import dataclasses
+
+    from idee_tpu.config import synthetic_config
+    from idee_tpu.data.fake import make_benchmark_cube
+    from idee_tpu.train.driver import train_synthetic
+
+    def slice_cube(cube, t0, t1):
+        """Time-slice weeks [t0, t1] (1-based inclusive); climatology and
+        global stats stay whole (they are per-week-of-year / global)."""
+        return dataclasses.replace(
+            cube,
+            dynamic=cube.dynamic[:, t0 - 1:t1],
+            anomaly=cube.anomaly[:, t0 - 1:t1],
+            extreme=cube.extreme[t0 - 1:t1],
+        )
+
+    n_time = args.years * 52
+    t_train = 34 * 52 if args.years > 34 else int(n_time * 0.85)
+
+    cfg = synthetic_config(
+        encoder=args.encoder,
+        name=name, dir_log=args.dir_log,
+        batch_size=args.batch, n_epochs=args.epochs,
+        x_max=args.hw, y_max=args.hw,
+        times_train=(1, t_train), times_val=(t_train + 1, n_time),
+        is_clima_scale=False, is_aug=True,
+        dtype="bfloat16", device_data=True,
+        # stable recipe (BASELINE.md "Training dynamics")
+        init_scheme="lecun", codebook_freeze_out=True,
+        lambda_commitment=0.0, lambda_anomaly=0.0,
+        seed=args.seed,
+    )
+
+    cube = make_benchmark_cube(n_vars=6, n_time=n_time, height=args.hw,
+                               width=args.hw, seed=args.seed)
+    history = train_synthetic(cfg,
+                              train_cube=slice_cube(cube, 1, t_train),
+                              val_cube=slice_cube(cube, t_train + 1, n_time))
+    history.pop("state", None)
+
+    payload = {
+        "encoder": args.encoder, "hw": args.hw, "batch": args.batch,
+        "epochs": args.epochs, "recipe": "stable (lecun, freeze_out, "
+        "no commitment, no anomaly-L1)",
+        "history": history,
+        "best_val_f1": max(history["val_f1"]) if history["val_f1"] else None,
+        "best_val_anom_f1": (max(history["val_anom_f1"])
+                             if history["val_anom_f1"] else None),
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: payload[k] for k in
+                      ("encoder", "best_val_f1", "best_val_anom_f1")}))
+
+
+if __name__ == "__main__":
+    main()

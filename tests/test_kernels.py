@@ -48,9 +48,9 @@ class TestLinearScan:
         np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_x),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_pallas_long_sequence_grid_carry(self):
-        """L > _UNROLL_MAX routes to the grid-carried kernel (time axis in
-        the sequential Pallas grid, state in VMEM scratch)."""
+    def test_pallas_long_sequence_blocked(self):
+        """L > _UNROLL_MAX routes to the two-level blocked scan (chunked
+        unrolled kernels + XLA cross-chunk carry combine)."""
         from idee_tpu.kernels.selective_scan import _UNROLL_MAX
 
         rng = np.random.default_rng(7)
@@ -237,9 +237,9 @@ class TestFusedSelectiveScan:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_forward_long_sequence_grid_carry(self):
-        """L > _UNROLL_MAX routes the fused kernel to its grid-carried
-        variant."""
+    def test_forward_long_sequence_blocked(self):
+        """L > _UNROLL_MAX routes the fused op to the XLA composition over
+        the blocked Pallas scan."""
         from idee_tpu.kernels import runtime
         from idee_tpu.kernels.selective_scan import (_UNROLL_MAX, _fused_xla,
                                                      fused_selective_scan_n1)
