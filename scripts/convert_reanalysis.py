@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--x_max", type=int, default=None)
     ap.add_argument("--y_min", type=int, default=0)
     ap.add_argument("--y_max", type=int, default=None)
+    ap.add_argument("--validate", action="store_true",
+                    help="after converting, re-read the first year through "
+                    "BOTH the cache and the direct-NetCDF path and compare "
+                    "item-for-item (first run against real archive files "
+                    "should use this -- the adapters are developed against "
+                    "schema fixtures only, BASELINE.md)")
     args = ap.parse_args()
 
     from idee_tpu.data.convert import convert_reanalysis
@@ -74,6 +80,31 @@ def main():
                              y_min=args.y_min, y_max=args.y_max)
     print(f"cache written to {out} ({len(years)} years, "
           f"{time.time() - t0:.1f}s)")
+
+    if args.validate:
+        # round-trip check: first converted year, cache path vs the direct
+        # NetCDF decode path, item-for-item on a few samples
+        import numpy as np
+
+        from idee_tpu.data.reanalysis import ReanalysisDataset
+
+        common = dict(spec=spec, root_main=root_main, root_noaa=root_noaa,
+                      variables=args.variables, years=[years[0]],
+                      is_aug=False, is_norm=True, is_clima_scale=False,
+                      alpha=args.alpha, x_min=args.x_min, x_max=args.x_max,
+                      y_min=args.y_min, y_max=args.y_max)
+        direct = ReanalysisDataset(**common)
+        cached = ReanalysisDataset(cache_root=out, **common)
+        assert len(direct) == len(cached), (len(direct), len(cached))
+        idxs = sorted({0, len(direct) // 2, len(direct) - 1})
+        for i in idxs:
+            a, b = direct[i], cached[i]
+            for k in a:
+                np.testing.assert_allclose(
+                    a[k], b[k], rtol=1e-5, atol=1e-5,
+                    err_msg=f"cache/direct mismatch at item {i} key {k}")
+        print(f"validate: {len(idxs)} items bit-compared across "
+              f"{len(a)} keys -- cache matches the direct NetCDF path")
 
 
 if __name__ == "__main__":
