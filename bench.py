@@ -28,6 +28,11 @@ Env knobs:
   BENCH_HOST_PIPE 1 = stream batches through the host loader every step
                   (measures loader+tunnel too); default 0 = cycle a
                   device-resident pool of batches (measures the chip)
+  BENCH_FUSED     1 (default) = run the timed steps as ONE jitted
+                  lax.scan over device-resident data (the driver's
+                  fused-epoch hot loop; one dispatch per repeat). 0 =
+                  dispatch each step from Python (adds ~90 ms/step of
+                  tunnel/host overhead at batch 1 -- the round-2 mode)
   BENCH_PLATFORM  cpu = force the CPU backend (for same-host comparisons
                   against the torch reference; Pallas kernels fall back
                   to their XLA paths)
@@ -115,6 +120,45 @@ def bench_one(encoder: str) -> float:
         # reliable execution barrier (adds one ~30 ms tunnel round-trip)
         return int(jax.device_get(x))
 
+    fused = (os.environ.get("BENCH_FUSED", "1") == "1") and not host_pipe
+    if fused:
+        # the driver's fused-epoch hot loop (train/steps.py): fetch+step
+        # scanned on device, one dispatch + one metrics fetch per repeat
+        import numpy as np
+
+        from idee_tpu.data.device import DeviceLoader
+        from idee_tpu.train.steps import make_train_epoch
+
+        it.close()
+        dloader = DeviceLoader(
+            ds, batch, shuffle=True, drop_last=True, seed=0,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
+        epoch_fn = make_train_epoch(model, cfg, dloader,
+                                    t0=float(ds.timestep[0]))
+
+        def order_n():
+            order, ep = dloader.epoch_order()
+            reps = -(-n_steps // order.shape[0])
+            return (np.concatenate([order] * reps)[:n_steps],
+                    np.int32(ep))
+
+        dyn, ext, anom = dloader.arrays
+        order, ep = order_n()
+        state, metrics = epoch_fn(state, metrics, dyn, ext, anom,
+                                  order, ep)  # compile
+        sync(metrics["n_steps"])
+
+        def run_once():
+            nonlocal state, metrics
+            order, ep = order_n()
+            t0 = time.perf_counter()
+            state, metrics = epoch_fn(state, metrics, dyn, ext, anom,
+                                      order, ep)
+            sync(metrics["n_steps"])
+            return n_steps / (time.perf_counter() - t0)
+
+        return statistics.median(run_once() for _ in range(n_repeat))
+
     # compile
     state, metrics = step(state, metrics, first)
     sync(metrics["n_steps"])
@@ -182,16 +226,22 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_repeat = os.environ.get("BENCH_REPEAT", "3")
     mode = ("host-pipe" if os.environ.get("BENCH_HOST_PIPE", "0") == "1"
-            else "device-pool")
+            else "fused-scan"
+            if os.environ.get("BENCH_FUSED", "1") == "1" else "device-pool")
 
     extra = {}
     for enc in encoders:
+        print(f"# bench {enc} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         sps = bench_one(enc)
         ref = REFERENCE_CPU_STEPS_PER_SEC.get(enc)
         extra[enc] = {
             "steps_per_sec": round(sps, 3),
             "vs_torch_cpu_reference": round(sps / ref, 1) if ref else None,
         }
+        print(f"# bench {enc}: {sps:.3f} steps/s "
+              f"({time.perf_counter() - t0:.0f}s incl. compile)",
+              file=sys.stderr, flush=True)
 
     headline = FLAGSHIP if FLAGSHIP in extra else encoders[0]
     sps = extra[headline]["steps_per_sec"]

@@ -187,6 +187,14 @@ class Config:
     # delta_t windows on device (data/device.py) instead of streaming each
     # window from the host -- removes the per-step host->device transfer
     device_data: bool = False
+    # with device_data, run the whole train/val epoch inside ONE jitted
+    # lax.scan (fetch + step fused on device) instead of dispatching each
+    # step from Python. Over the remote-TPU tunnel a per-step dispatch
+    # costs ~90 ms of host/transport overhead against a ~43 ms compute
+    # step (profile_step.py), so the scanned epoch is the TPU-native hot
+    # loop; set False to fall back to per-step dispatch (always used when
+    # profile_dir is set, so the profiler sees step boundaries)
+    fused_epoch: bool = True
     # offline reanalysis cache directory (scripts/convert_reanalysis.py);
     # serves CERRA/ERA5 items from mmap instead of per-item NetCDF decoding
     cache_root: Optional[str] = None

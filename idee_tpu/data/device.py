@@ -54,8 +54,16 @@ class DeviceLoader:
                 np.ascontiguousarray(ds.anomaly, np.uint8)))
         t0 = float(ds.timestep[0])
         is_aug = bool(ds.is_aug)
+        has_anom = anom is not None
+        self._dt, self._t0 = dt, t0
 
-        def one(i, key):
+        # NOTE the cube arrays are ARGUMENTS of the jitted fetch, not
+        # closure captures: a closed-over concrete array is embedded into
+        # the lowered HLO as a literal constant, which at real geometries
+        # (40y x 200x200 ~ 0.85 GB bf16) bloats the compile payload until
+        # the remote-compile transport breaks (observed: 85-minute hang
+        # then "remote_compile: Broken pipe" on the axon tunnel)
+        def one(dyn, ext, anom, i, key):
             x = jax.lax.dynamic_slice(dyn, (0, i, 0, 0), (V, dt, H, W))
             x = jnp.flip(x, 1)[:, None]  # [V, 1, dt, H, W] time-reversed
             ew = jax.lax.dynamic_slice(ext, (i, 0, 0), (dt, H, W))
@@ -63,7 +71,7 @@ class DeviceLoader:
             me = jnp.where(me > 1.0, 0.0, me)  # values > 1 zeroed (:342-343)
             mel = jnp.clip(ew.sum(0), 0.0, 1.0)  # union over window (:346)
             out = {"x": x, "mask_extreme": me, "mask_extreme_loss": mel}
-            if anom is not None:
+            if has_anom:
                 a = jax.lax.dynamic_slice(anom, (0, i, 0, 0), (V, dt, H, W))
                 out["mask_anomaly"] = jnp.flip(a, 1)
             if is_aug:
@@ -80,21 +88,62 @@ class DeviceLoader:
                 out = {k: flip2(v) for k, v in out.items()}
             return out
 
-        @jax.jit
-        def fetch(idx, key):
+        def batch_from(dyn, ext, anom, idx, key):
             keys = jax.random.split(key, idx.shape[0])
-            out = jax.vmap(one)(idx, keys)
+            out = jax.vmap(one, in_axes=(None, None, None, 0, 0))(
+                dyn, ext, anom, idx, keys)
             out["timestep"] = (idx.astype(jnp.float32)
                                + (dt - 1) + t0)[:, None]
             return out
 
-        self._fetch = fetch
+        fetch = jax.jit(batch_from)
+
+        if not has_anom:  # placeholder leaf so the jit signature is uniform
+            anom = jnp.zeros((), jnp.uint8)
+        self._arrays = (dyn, ext, anom)
+        self._batch_from = batch_from
+        self._fetch = lambda idx, key: fetch(dyn, ext, anom, idx, key)
         self._key = jax.random.PRNGKey(seed)
 
     def __len__(self):
         if self.drop_last:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
+
+    # ---- fused-epoch (lax.scan) interface ----------------------------
+    # Per-step dispatch over the remote-TPU tunnel costs ~90 ms of
+    # host/transport overhead; train/steps.py::make_train_epoch scans the
+    # whole epoch inside one jitted call and uses these hooks to build
+    # each batch ON device with rng identical to the __iter__ path.
+
+    def epoch_order(self):
+        """Advance one epoch; return ([nb, B] int32 index matrix, epoch#).
+
+        Same permutation stream as __iter__ (shared numpy Generator), so a
+        fused epoch consumes the identical sample order the per-step path
+        would have.
+        """
+        order = (self._rng.permutation(self.n) if self.shuffle
+                 else np.arange(self.n))
+        self._epoch += 1
+        nb = len(self)
+        return (order[:nb * self.batch_size]
+                .reshape(nb, self.batch_size).astype(np.int32), self._epoch)
+
+    def traced_batch(self, dyn, ext, anom, idx, epoch, b):
+        """Traceable batch constructor for use inside lax.scan: batch `b`
+        of epoch `epoch` (both may be traced scalars) from the
+        device-resident arrays. rng formula matches __iter__ exactly
+        (fold_in(key, epoch * 100003 + b))."""
+        import jax
+
+        key = jax.random.fold_in(self._key, epoch * 100003 + b)
+        return self._batch_from(dyn, ext, anom, idx, key)
+
+    @property
+    def arrays(self):
+        """(dynamic, extreme, anomaly-or-placeholder) device arrays."""
+        return self._arrays
 
     def __iter__(self):
         import jax

@@ -153,6 +153,21 @@ def train_synthetic(cfg: Config,
         start_epoch = int(restored["meta"]["epoch"]) + 1
         log_string(logger, f"auto-resumed from epoch {start_epoch}")
 
+    # fused epochs: with a device-resident cube, one jitted lax.scan runs
+    # the whole epoch (fetch+step) in a single dispatch -- per-step Python
+    # dispatch costs ~2x the step's compute over the remote-TPU transport
+    # (profile_step.py). Per-step mode remains for profiling (step
+    # boundaries) and as an opt-out (cfg.fused_epoch=False).
+    use_fused = (cfg.device_data and getattr(cfg, "fused_epoch", True)
+                 and not cfg.profile_dir)
+    if use_fused:
+        from idee_tpu.train.steps import make_eval_epoch, make_train_epoch
+
+        train_epoch = make_train_epoch(model, cfg, train_loader,
+                                       t0=float(train_ds.timestep[0]),
+                                       steps_per_epoch=len(train_loader))
+        eval_epoch = make_eval_epoch(model, cfg, val_loader,
+                                     t0=float(val_ds.timestep[0]))
     train_step = make_train_step(model, cfg, t0=float(train_ds.timestep[0]),
                                  steps_per_epoch=len(train_loader))
     eval_step = make_eval_step(model, cfg, t0=float(val_ds.timestep[0]))
@@ -181,20 +196,32 @@ def train_synthetic(cfg: Config,
         # -- train epoch: fully device-resident accumulation --
         profiling = cfg.profile_dir and epoch == start_epoch
         metrics = init_epoch_metrics(train_ds.anomaly.shape)
-        for i, batch in enumerate(train_loader):
-            if profiling and i == 2:  # skip compile steps
-                jax.profiler.start_trace(cfg.profile_dir)
-            state, metrics = train_step(state, metrics, batch)
-            timer.tick()
-            if profiling and i == 7:
+        if use_fused:
+            import time as _time
+
+            dyn, ext, anom = train_loader.arrays
+            order, ep = train_loader.epoch_order()
+            t_ep = _time.perf_counter()
+            state, metrics = train_epoch(state, metrics, dyn, ext, anom,
+                                         order, np.int32(ep))
+            m = jax.device_get(metrics)  # the only reliable barrier here
+            sps = order.shape[0] / (_time.perf_counter() - t_ep)
+        else:
+            for i, batch in enumerate(train_loader):
+                if profiling and i == 2:  # skip compile steps
+                    jax.profiler.start_trace(cfg.profile_dir)
+                state, metrics = train_step(state, metrics, batch)
+                timer.tick()
+                if profiling and i == 7:
+                    jax.block_until_ready(metrics["n_steps"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log_string(logger, f"profiler trace -> {cfg.profile_dir}")
+            if profiling:  # short epoch: close the trace
                 jax.block_until_ready(metrics["n_steps"])
                 jax.profiler.stop_trace()
-                profiling = False
-                log_string(logger, f"profiler trace -> {cfg.profile_dir}")
-        if profiling:  # short epoch: close the trace
-            jax.block_until_ready(metrics["n_steps"])
-            jax.profiler.stop_trace()
-        m = jax.device_get(metrics)
+            m = jax.device_get(metrics)
+            sps = timer.steps_per_sec
         mean_loss_train = _epoch_results(m, eval_train, eval_train_anom,
                                          train_ds.anomaly)
         eval_train_anom.get_results()
@@ -204,9 +231,18 @@ def train_synthetic(cfg: Config,
         # -- validation --
         metrics = init_epoch_metrics(val_ds.anomaly.shape)
         last_batch = None
-        for batch in val_loader:
-            metrics = eval_step(model_variables(state), metrics, batch)
-            last_batch = batch
+        if use_fused:
+            dyn, ext, anom = val_loader.arrays
+            order, ep = val_loader.epoch_order()
+            metrics = eval_epoch(model_variables(state), metrics,
+                                 dyn, ext, anom, order, np.int32(ep))
+            # one extra fetch for the TensorBoard image panels below
+            last_batch = val_loader._fetch(
+                order[-1], jax.random.fold_in(val_loader._key, ep))
+        else:
+            for batch in val_loader:
+                metrics = eval_step(model_variables(state), metrics, batch)
+                last_batch = batch
         m = jax.device_get(metrics)
         mean_loss_val = _epoch_results(m, eval_val, eval_val_anom,
                                        val_ds.anomaly)
@@ -231,8 +267,8 @@ def train_synthetic(cfg: Config,
         history["val_f1"].append(f1_val)
         history["train_anom_f1"].append(_nanmean(eval_train_anom.F1_pos))
         history["val_anom_f1"].append(_nanmean(eval_val_anom.F1_pos))
-        history["steps_per_sec"].append(timer.steps_per_sec)
-        log_string(logger, "steps/sec: %.3f" % timer.steps_per_sec)
+        history["steps_per_sec"].append(sps)
+        log_string(logger, "steps/sec: %.3f" % sps)
 
         # -- TensorBoard: scalars + last-batch image panels (reference:
         # train_synthetic.py:283-299,310-319) --

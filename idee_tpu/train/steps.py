@@ -106,13 +106,10 @@ def _accumulate(metrics, comps, out, batch, t0: float, delta_t: int,
     return metrics, pred, pred_c
 
 
-def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True,
-                    steps_per_epoch: int = 0):
-    """Returns jitted step(state, metrics, batch) -> (state, metrics).
-
-    t0: absolute timestep of the dataset's first timeline slot
-    (dataset.timestep[0]). steps_per_epoch enables the anomaly-L1
-    curriculum (cfg.anomaly_warmup_epochs / anomaly_ramp_epochs)."""
+def _train_step_body(model, cfg: Config, t0: float = 0.0,
+                     steps_per_epoch: int = 0):
+    """Unjitted step(state, metrics, batch) -> (state, metrics); jitted
+    per-step by make_train_step, scanned per-epoch by make_train_epoch."""
     warm = getattr(cfg, "anomaly_warmup_epochs", 0) * steps_per_epoch
     ramp = max(getattr(cfg, "anomaly_ramp_epochs", 0) * steps_per_epoch, 1)
     use_ramp = warm > 0 or getattr(cfg, "anomaly_ramp_epochs", 0) > 0
@@ -158,7 +155,50 @@ def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True,
                                     cfg.delta_t)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(model, cfg: Config, t0: float = 0.0, donate: bool = True,
+                    steps_per_epoch: int = 0):
+    """Returns jitted step(state, metrics, batch) -> (state, metrics).
+
+    t0: absolute timestep of the dataset's first timeline slot
+    (dataset.timestep[0]). steps_per_epoch enables the anomaly-L1
+    curriculum (cfg.anomaly_warmup_epochs / anomaly_ramp_epochs)."""
+    step = _train_step_body(model, cfg, t0, steps_per_epoch)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_train_epoch(model, cfg: Config, loader, t0: float = 0.0,
+                     steps_per_epoch: int = 0):
+    """Fused epoch: ONE jitted lax.scan over the epoch's batches, with the
+    device-resident batch fetch (data/device.py) inlined into the scan body.
+
+    The reference dispatches every optimizer step from Python
+    (train_synthetic.py:170-215); over a remote-TPU transport each dispatch
+    costs ~2x the step's compute (measured: 135 ms wall vs 43 ms compute
+    for CNN_3D at the bench geometry, scripts/profile_step.py). Scanning
+    the epoch on device leaves ONE dispatch + ONE metrics fetch per epoch.
+
+    Returns epoch_fn(state, metrics, dyn, ext, anom, order, epoch) ->
+    (state, metrics); order is the loader's [nb, B] int32 index matrix and
+    epoch the (1-based) epoch number driving the per-batch rng fold, both
+    from loader.epoch_order().
+    """
+    step = _train_step_body(model, cfg, t0, steps_per_epoch)
+
+    def epoch_fn(state, metrics, dyn, ext, anom, order, epoch):
+        def body(carry, inp):
+            b, idx = inp
+            batch = loader.traced_batch(dyn, ext, anom, idx, epoch, b)
+            return step(*carry, batch), None
+
+        nb = order.shape[0]
+        carry, _ = jax.lax.scan(body, (state, metrics),
+                                (jnp.arange(nb), order))
+        return carry
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
 
 def make_eval_step(model, cfg: Config, t0: float = 0.0,
@@ -185,3 +225,34 @@ def make_eval_step(model, cfg: Config, t0: float = 0.0,
         return metrics
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def make_eval_epoch(model, cfg: Config, loader, t0: float = 0.0):
+    """Fused validation epoch (see make_train_epoch): one jitted scan over
+    the val batches, params held constant across the scan.
+
+    Returns epoch_fn(variables, metrics, dyn, ext, anom, order, epoch)
+    -> metrics."""
+
+    def one(variables, metrics, batch):
+        out = model.apply(variables, batch["x"], train=False,
+                          mask_extreme_loss=batch["mask_extreme_loss"])
+        loss, comps = losses.total_loss_synthetic(
+            out, batch["mask_extreme"], batch["mask_extreme_loss"],
+            cfg.lambda_anomaly,
+        )
+        metrics, _, _ = _accumulate(metrics, comps, out, batch, t0,
+                                    cfg.delta_t)
+        return metrics
+
+    def epoch_fn(variables, metrics, dyn, ext, anom, order, epoch):
+        def body(metrics, inp):
+            b, idx = inp
+            batch = loader.traced_batch(dyn, ext, anom, idx, epoch, b)
+            return one(variables, metrics, batch), None
+
+        nb = order.shape[0]
+        metrics, _ = jax.lax.scan(body, metrics, (jnp.arange(nb), order))
+        return metrics
+
+    return jax.jit(epoch_fn, donate_argnums=(1,))
