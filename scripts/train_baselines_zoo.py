@@ -17,6 +17,14 @@ Geometry: 48x48 (VERDICT: "48x48 is fine"), 6 vars, 40y cube split
 
 Usage: python scripts/train_baselines_zoo.py [--which deepmil,simplenet,
        steal,uniad] [--epochs 6] [--out /tmp/baseline_zoo.json]
+
+--which accepts all seven baselines (deepmil, arnet, rtfm, mgfn,
+simplenet, steal, uniad). --pretrained points SimpleNet's frozen backbone
+at a trained core checkpoint (the reference protocol,
+Baselines_OneClass/models/build_simplenet.py:146-163: SimpleNet scores
+features of the PRETRAINED encoder; with a random frozen backbone the
+discriminator maps everything to one score and the median-threshold
+anomaly map degenerates to empty).
 """
 # ------------------------------------------------------------------
 
@@ -44,7 +52,7 @@ def slice_cube(cube, t0, t1):
 
 
 def run_one(which: str, cube, hw: int, epochs: int, years: int,
-            dir_log: str):
+            dir_log: str, pretrained: str = None):
     from idee_tpu.baselines.config import (mil_config, oneclass_config,
                                            recon_config)
 
@@ -62,17 +70,17 @@ def run_one(which: str, cube, hw: int, epochs: int, years: int,
     )
 
     t0 = time.time()
-    if which == "deepmil":
+    if which in ("deepmil", "arnet", "rtfm", "mgfn"):
         from idee_tpu.baselines.mil.driver import train_mil_synthetic
 
         cfg = mil_config(**common)
-        hist = train_mil_synthetic(cfg, "deepmil", train_cube=train_cube,
+        hist = train_mil_synthetic(cfg, which, train_cube=train_cube,
                                    val_cube=val_cube)
     elif which == "simplenet":
         from idee_tpu.baselines.oneclass.driver import (
             train_simplenet_synthetic)
 
-        cfg = oneclass_config(**common)
+        cfg = oneclass_config(model_pretrained=pretrained, **common)
         hist = train_simplenet_synthetic(cfg, train_cube=train_cube,
                                          val_cube=val_cube)
     elif which in ("steal", "uniad"):
@@ -112,7 +120,19 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dir_log", default="/tmp/zoo_runs")
     ap.add_argument("--out", default="/tmp/baseline_zoo.json")
+    ap.add_argument("--pretrained", default=None,
+                    help="core checkpoint dir for SimpleNet's frozen "
+                    "backbone (orbax; e.g. a best_F1_model from "
+                    "train_benchmark_accuracy.py)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu when the TPU "
+                    "is busy with a training run)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from idee_tpu.data.fake import make_benchmark_cube
 
@@ -123,7 +143,7 @@ def main():
     results = []
     for which in args.which.split(","):
         res = run_one(which.strip(), cube, args.hw, args.epochs,
-                      args.years, args.dir_log)
+                      args.years, args.dir_log, pretrained=args.pretrained)
         results.append(res)
         print(json.dumps({k: res[k] for k in
                           ("baseline", "best_val_anom_f1",
