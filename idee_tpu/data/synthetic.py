@@ -35,6 +35,25 @@ class SyntheticCube:
     clima_median: Optional[np.ndarray] = None
     clima_std: Optional[np.ndarray] = None
 
+    def time_slice(self, t0: int, t1: int) -> "SyntheticCube":
+        """Weeks [t0, t1] (1-based inclusive) as a new cube.
+
+        With an in-memory ``cube=``, SyntheticDataset uses ``times=`` only
+        as the absolute-timestep offset (for climatology week phase), NOT
+        as a slice — so a train/val split must be cut HERE, with matching
+        ``times=(t0, t1)`` passed to the dataset. Passing one unsliced
+        cube as both train and val leaks the validation weeks into
+        training. Stats/climatology/static fields are time-invariant and
+        shared."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            dynamic=self.dynamic[:, t0 - 1:t1],
+            anomaly=self.anomaly[:, t0 - 1:t1],
+            extreme=self.extreme[t0 - 1:t1],
+        )
+
 
 def _week_of(timestep: np.ndarray) -> np.ndarray:
     """Absolute timestep (1-based) -> week-of-year index 0..51

@@ -37,20 +37,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def slice_cube(cube, t0, t1):
-    """Time-slice weeks [t0, t1] (1-based inclusive) -- with an in-memory
-    cube SyntheticDataset uses times= only as the timestep offset, so the
-    train/val split must be cut here (same as train_benchmark_accuracy)."""
-    import dataclasses
-
-    return dataclasses.replace(
-        cube,
-        dynamic=cube.dynamic[:, t0 - 1:t1],
-        anomaly=cube.anomaly[:, t0 - 1:t1],
-        extreme=cube.extreme[t0 - 1:t1],
-    )
-
-
 def run_one(which: str, cube, hw: int, epochs: int, years: int,
             dir_log: str, pretrained: str = None):
     from idee_tpu.baselines.config import (mil_config, oneclass_config,
@@ -58,8 +44,8 @@ def run_one(which: str, cube, hw: int, epochs: int, years: int,
 
     n_time = years * 52
     t_train = 34 * 52 if years > 34 else int(n_time * 0.85)
-    train_cube = slice_cube(cube, 1, t_train)
-    val_cube = slice_cube(cube, t_train + 1, n_time)
+    train_cube = cube.time_slice(1, t_train)
+    val_cube = cube.time_slice(t_train + 1, n_time)
     common = dict(
         in_channels_dynamic=6,
         name=f"zoo_{which}_{hw}", dir_log=dir_log,

@@ -52,21 +52,9 @@ def main():
     name = args.name or f"acc_{args.encoder}_{args.hw}"
     out = args.out or f"/tmp/{name}.json"
 
-    import dataclasses
-
     from idee_tpu.config import synthetic_config
     from idee_tpu.data.fake import make_benchmark_cube
     from idee_tpu.train.driver import train_synthetic
-
-    def slice_cube(cube, t0, t1):
-        """Time-slice weeks [t0, t1] (1-based inclusive); climatology and
-        global stats stay whole (they are per-week-of-year / global)."""
-        return dataclasses.replace(
-            cube,
-            dynamic=cube.dynamic[:, t0 - 1:t1],
-            anomaly=cube.anomaly[:, t0 - 1:t1],
-            extreme=cube.extreme[t0 - 1:t1],
-        )
 
     n_time = args.years * 52
     t_train = 34 * 52 if args.years > 34 else int(n_time * 0.85)
@@ -115,9 +103,9 @@ def main():
                      stats=np.array(_json.dumps(cube.stats)),
                      clima_median=cube.clima_median,
                      clima_std=cube.clima_std, **extras)
-    history = train_synthetic(cfg,
-                              train_cube=slice_cube(cube, 1, t_train),
-                              val_cube=slice_cube(cube, t_train + 1, n_time))
+    history = train_synthetic(
+        cfg, train_cube=cube.time_slice(1, t_train),
+        val_cube=cube.time_slice(t_train + 1, n_time))
     history.pop("state", None)
 
     payload = {

@@ -223,3 +223,41 @@ def test_netcdf3_classic_adapter(tmp_path):
         np.testing.assert_allclose(a[0, 0], np.arange(6, 12))
         a.flags.writeable  # must be a writable copy, not the mmap view
         a[0, 0, 0] = -1.0
+
+
+def test_time_slice_disjoint_split(fake_cube):
+    """cube.time_slice must cut train/val into disjoint week ranges --
+    with an in-memory cube, SyntheticDataset treats times= only as the
+    absolute-timestep offset, so an unsliced cube passed to both splits
+    would silently leak validation weeks into training."""
+    T = fake_cube.dynamic.shape[1]
+    t_train = int(T * 0.75)
+    train = fake_cube.time_slice(1, t_train)
+    val = fake_cube.time_slice(t_train + 1, T)
+
+    assert train.dynamic.shape[1] == t_train
+    assert val.dynamic.shape[1] == T - t_train
+    # boundary weeks line up with the original cube, no overlap
+    np.testing.assert_array_equal(train.dynamic[:, -1],
+                                  fake_cube.dynamic[:, t_train - 1])
+    np.testing.assert_array_equal(val.dynamic[:, 0],
+                                  fake_cube.dynamic[:, t_train])
+    np.testing.assert_array_equal(val.extreme[0], fake_cube.extreme[t_train])
+    # time-invariant fields are shared, not copied
+    assert val.stats is fake_cube.stats
+    assert val.clima_median is fake_cube.clima_median
+
+
+def test_time_slice_dataset_offset_semantics(fake_cube):
+    """A sliced cube + matching times= reproduces the unsliced dataset's
+    items (the climatology week phase follows the absolute timestep)."""
+    T = fake_cube.dynamic.shape[1]
+    t0 = 17
+    whole = _ds(fake_cube, times=(1, T), is_norm=True, is_clima_scale=True)
+    part = _ds(fake_cube.time_slice(t0, T), times=(t0, T), is_norm=True,
+               is_clima_scale=True)
+    a = whole[t0 - 1 + 3]
+    b = part[3]
+    np.testing.assert_array_equal(a["timestep"], b["timestep"])
+    np.testing.assert_allclose(a["x"], b["x"], rtol=1e-6)
+    np.testing.assert_array_equal(a["mask_extreme"], b["mask_extreme"])
