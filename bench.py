@@ -37,6 +37,9 @@ Env knobs:
                   against the torch reference; Pallas kernels fall back
                   to their XLA paths)
   BENCH_REMAT     1 = enable activation checkpointing
+  BENCH_FORCE_XLA 1 = route every Pallas kernel to its XLA fallback
+                  (A/B the fused kernels against XLA composition at the
+                  bench geometry on the same silicon)
 """
 # ------------------------------------------------------------------
 
@@ -213,9 +216,10 @@ def main():
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    if jax.default_backend() == "cpu":
+    if (jax.default_backend() == "cpu"          # Pallas compiles only on TPU
+            or os.environ.get("BENCH_FORCE_XLA", "0") == "1"):  # kernel A/B
         from idee_tpu.kernels.runtime import set_force_xla
-        set_force_xla(True)  # Pallas compiles only for TPU
+        set_force_xla(True)
 
     sel = os.environ.get("BENCH_ENCODER", "all")
     encoders = (["CNN_3D", "Swin_3D", "Mamba"] if sel in ("all", "")
@@ -228,6 +232,8 @@ def main():
     mode = ("host-pipe" if os.environ.get("BENCH_HOST_PIPE", "0") == "1"
             else "fused-scan"
             if os.environ.get("BENCH_FUSED", "1") == "1" else "device-pool")
+    if os.environ.get("BENCH_FORCE_XLA", "0") == "1":
+        mode += "+xla-fallback-kernels"
 
     extra = {}
     for enc in encoders:

@@ -260,6 +260,37 @@ def make_benchmark_cube(
     )
 
 
+def save_cube_npz(path: str, cube: SyntheticCube) -> None:
+    """Disk-cache a generated cube (deterministic in its seed; 200x200x40y
+    generation costs ~20 min of single-core time, loading seconds)."""
+    import json
+
+    extras = {}
+    if cube.static is not None:
+        extras["static"] = cube.static
+        extras["variables_static"] = np.array(cube.variables_static)
+    np.savez(path, dynamic=cube.dynamic, anomaly=cube.anomaly,
+             extreme=cube.extreme, variables=np.array(cube.variables),
+             stats=np.array(json.dumps(cube.stats)),
+             clima_median=cube.clima_median, clima_std=cube.clima_std,
+             **extras)
+
+
+def load_cube_npz(path: str) -> SyntheticCube:
+    """Inverse of save_cube_npz."""
+    import json
+
+    z = np.load(path, allow_pickle=False)
+    return SyntheticCube(
+        dynamic=z["dynamic"], anomaly=z["anomaly"], extreme=z["extreme"],
+        variables=list(z["variables"]),
+        static=z["static"] if "static" in z else None,
+        variables_static=(list(z["variables_static"])
+                          if "variables_static" in z else []),
+        stats=json.loads(str(z["stats"])),
+        clima_median=z["clima_median"], clima_std=z["clima_std"])
+
+
 def write_fake_netcdf(root: str, cube: SyntheticCube) -> None:
     """Write the cube in the reference directory schema via h5py so the
     NetCDF loader path can be tested without xarray."""

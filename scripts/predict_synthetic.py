@@ -122,6 +122,10 @@ def main():
     ap.add_argument("--times", default=None,
                     help='override times_test, e.g. "(2081,2132)"')
     ap.add_argument("--root_synthetic", default=None)
+    ap.add_argument("--cube_npz", default=None,
+                    help="generated-cube cache (train_benchmark_accuracy's "
+                    "--cube_npz) for runs trained on in-memory cubes; "
+                    "sliced to times_test here")
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=None)
@@ -147,9 +151,15 @@ def main():
         over["batch_size"] = args.batch_size
     cfg = cfg.replace(**over)
 
+    cube = None
+    if args.cube_npz:
+        from idee_tpu.data.fake import load_cube_npz
+
+        cube = load_cube_npz(args.cube_npz).time_slice(*cfg.times_test)
+
     ckpt = os.path.join(args.run_dir, "model_checkpoints", args.checkpoint)
     out = args.out or os.path.join(args.run_dir, "predictions.npz")
-    predict_synthetic(cfg, ckpt, out)
+    predict_synthetic(cfg, ckpt, out, cube=cube)
 
 
 if __name__ == "__main__":

@@ -73,36 +73,15 @@ def main():
         seed=args.seed,
     )
 
-    import json as _json
-
-    import numpy as np
-
-    from idee_tpu.data.synthetic import SyntheticCube
+    from idee_tpu.data.fake import load_cube_npz, save_cube_npz
 
     if args.cube_npz and os.path.exists(args.cube_npz):
-        z = np.load(args.cube_npz, allow_pickle=False)
-        cube = SyntheticCube(
-            dynamic=z["dynamic"], anomaly=z["anomaly"], extreme=z["extreme"],
-            variables=list(z["variables"]),
-            static=z["static"] if "static" in z else None,
-            variables_static=list(z["variables_static"])
-            if "variables_static" in z else [],
-            stats=_json.loads(str(z["stats"])),
-            clima_median=z["clima_median"], clima_std=z["clima_std"])
+        cube = load_cube_npz(args.cube_npz)
     else:
         cube = make_benchmark_cube(n_vars=6, n_time=n_time, height=args.hw,
                                    width=args.hw, seed=args.seed)
         if args.cube_npz:
-            extras = {}
-            if cube.static is not None:
-                extras["static"] = cube.static
-                extras["variables_static"] = np.array(cube.variables_static)
-            np.savez(args.cube_npz, dynamic=cube.dynamic,
-                     anomaly=cube.anomaly, extreme=cube.extreme,
-                     variables=np.array(cube.variables),
-                     stats=np.array(_json.dumps(cube.stats)),
-                     clima_median=cube.clima_median,
-                     clima_std=cube.clima_std, **extras)
+            save_cube_npz(args.cube_npz, cube)
     history = train_synthetic(
         cfg, train_cube=cube.time_slice(1, t_train),
         val_cube=cube.time_slice(t_train + 1, n_time))

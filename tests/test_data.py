@@ -261,3 +261,17 @@ def test_time_slice_dataset_offset_semantics(fake_cube):
     np.testing.assert_array_equal(a["timestep"], b["timestep"])
     np.testing.assert_allclose(a["x"], b["x"], rtol=1e-6)
     np.testing.assert_array_equal(a["mask_extreme"], b["mask_extreme"])
+
+
+def test_cube_npz_roundtrip(tmp_path, fake_cube):
+    from idee_tpu.data.fake import load_cube_npz, save_cube_npz
+
+    p = str(tmp_path / "cube.npz")
+    save_cube_npz(p, fake_cube)
+    back = load_cube_npz(p)
+    np.testing.assert_array_equal(back.dynamic, fake_cube.dynamic)
+    np.testing.assert_array_equal(back.anomaly, fake_cube.anomaly)
+    np.testing.assert_array_equal(back.extreme, fake_cube.extreme)
+    assert back.variables == list(fake_cube.variables)
+    assert back.stats == fake_cube.stats
+    np.testing.assert_array_equal(back.clima_median, fake_cube.clima_median)
