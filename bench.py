@@ -130,7 +130,7 @@ def bench_one(encoder: str) -> float:
         import numpy as np
 
         from idee_tpu.data.device import DeviceLoader
-        from idee_tpu.train.steps import make_train_epoch
+        from idee_tpu.train.steps import epoch_chunks, make_train_epoch
 
         it.close()
         dloader = DeviceLoader(
@@ -138,6 +138,10 @@ def bench_one(encoder: str) -> float:
             dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
         epoch_fn = make_train_epoch(model, cfg, dloader,
                                     t0=float(ds.timestep[0]))
+        # bounded dispatches: the axon worker kills programs running
+        # longer than ~30-60 s (BASELINE.md), so scan BENCH_CHUNK steps
+        # per dispatch like the driver does (Config.fused_chunk)
+        chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
         def order_n():
             order, ep = dloader.epoch_order()
@@ -146,17 +150,20 @@ def bench_one(encoder: str) -> float:
                     np.int32(ep))
 
         dyn, ext, anom = dloader.arrays
-        order, ep = order_n()
-        state, metrics = epoch_fn(state, metrics, dyn, ext, anom,
-                                  order, ep)  # compile
+
+        def run_epoch():
+            nonlocal state, metrics
+            order, ep = order_n()
+            for sl, start in epoch_chunks(order.shape[0], chunk):
+                state, metrics = epoch_fn(state, metrics, dyn, ext, anom,
+                                          order[sl], ep, np.int32(start))
+
+        run_epoch()  # compile
         sync(metrics["n_steps"])
 
         def run_once():
-            nonlocal state, metrics
-            order, ep = order_n()
             t0 = time.perf_counter()
-            state, metrics = epoch_fn(state, metrics, dyn, ext, anom,
-                                      order, ep)
+            run_epoch()
             sync(metrics["n_steps"])
             return n_steps / (time.perf_counter() - t0)
 

@@ -195,6 +195,15 @@ class Config:
     # loop; set False to fall back to per-step dispatch (always used when
     # profile_dir is set, so the profiler sees step boundaries)
     fused_epoch: bool = True
+    # max train/val steps per fused-epoch dispatch: the axon TPU worker
+    # kills programs executing longer than ~30-60 s (a 27 s dispatch
+    # survives, a 67 s one crashes the worker — measured 2026-08-18), so
+    # epochs run as ceil(nb/chunk) bounded dispatches; the start-offset
+    # plumbing keeps the rng stream identical to one unchunked scan.
+    # 16 steps stays under the watchdog even at ~1.5 s/step (Swin
+    # batch 4) while keeping dispatch overhead ~2 ms/step. <=0 = one
+    # dispatch per epoch.
+    fused_chunk: int = 16
     # offline reanalysis cache directory (scripts/convert_reanalysis.py);
     # serves CERRA/ERA5 items from mmap instead of per-item NetCDF decoding
     cache_root: Optional[str] = None

@@ -11,15 +11,28 @@ as ONE [128, hd] x [hd, 128] matmul pair with a block-diagonal additive
 base (off-diagonal -1e9, diagonal = that pair's rel-pos bias + its
 window's shift mask).
 
-Shifted windows: the (bias, shift-mask) combination per tile repeats with
-a small period -- all distinct [R, R] bases are built ONCE at trace time
-(numpy) and the per-tile base is selected by a scalar-prefetch pattern-id
-vector, so masked blocks fuse exactly like unmasked ones (round 1 punted
-them to XLA).
+Round-3 redesign (the round-2 kernel LOST to the XLA composition on
+silicon, BASELINE.md kernel A/B): at the bench geometry one call is ~30k
+tiles, and the round-2 grid ran them one per step, each DMA-ing a 64 KB
+[128,128] base for ~0.5 MFLOP of matmul -- per-step overhead and base
+traffic swamped the fused-softmax win. This version:
 
-Backward is a second fused kernel over the same tiling: recompute s/p in
-VMEM, produce dq/dk/dv tiles and accumulate the rel-pos-bias gradient into
-a [G, n, n] block kept resident across the (sequential) grid.
+* batches B_T tiles per grid step (one batched dot_general pair);
+* sorts tiles into PATTERN GROUPS at trace time so every step needs ONE
+  base block, and consecutive steps of a group re-use it (Pallas skips
+  the DMA when the block index repeats);
+* keeps pairs in a transposed [hd, R] layout so every VMEM block has a
+  full 128-lane minor dimension (the round-2 [R, hd=8] layout wasted
+  15/16 of each lane tile).
+
+Shifted windows: the (bias, shift-mask) combination per tile repeats with
+a small period -- all distinct [R, R] bases are built ONCE per call on
+device from the live bias parameter and the trace-time mask bank.
+
+Backward is a second fused kernel over the same grouped tiling: recompute
+s/p in VMEM, produce dq/dk/dv tiles and accumulate the rel-pos-bias
+gradient into a [G, n, n] block kept resident across the (sequential)
+grid.
 
 The XLA composition remains as the off-TPU / fallback path and the
 correctness reference in tests.
@@ -36,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROWS = 128      # MXU tile rows
 _NEG = -1e9
+_BT = 16         # tiles batched per grid step
 
 
 def _xla_impl(q, k, v, bias, mask, scale: float):
@@ -71,7 +85,7 @@ def _tile_structure(BW: int, G: int, n: int, mask):
     Returns (mask_bank [K, n, n] np, gg [n_pat, P] i32, mm [n_pat, P] i32,
              pattern_id [tiles] i32, pad_pairs). gg maps (pattern, block) ->
              rel-pos-bias plane; the backward kernel reads it via
-             pattern_id, keeping the SMEM-prefetched tables tiny.
+             the per-step pattern id, keeping the SMEM tables tiny.
     """
     P = _ROWS // n
     n_pairs = BW * G
@@ -102,6 +116,30 @@ def _tile_structure(BW: int, G: int, n: int, mask):
     return (mask_bank, gg, mm, pattern_id.astype(np.int32), pad)
 
 
+def _group_tiles(pattern_id: np.ndarray, bt: int):
+    """Sort tiles into pattern groups, each padded to a multiple of bt.
+
+    Returns (order [n_steps*bt] i32, padding slots = tiles (out-of-bounds
+             HIGH: jnp.take mode="fill" wraps negatives but fills >= n),
+             inv [tiles] i32 sorted position of each original tile,
+             step_pattern [n_steps] i32). numpy, trace-time.
+    """
+    tiles = pattern_id.shape[0]
+    order_parts, step_pat = [], []
+    for pat in np.unique(pattern_id):
+        idx = np.nonzero(pattern_id == pat)[0].astype(np.int32)
+        pad = (-idx.shape[0]) % bt
+        if pad:
+            idx = np.concatenate([idx, np.full(pad, tiles, np.int32)])
+        order_parts.append(idx)
+        step_pat.extend([pat] * (idx.shape[0] // bt))
+    order = np.concatenate(order_parts)
+    inv = np.empty(tiles, np.int32)
+    valid = order < tiles
+    inv[order[valid]] = np.arange(order.shape[0], dtype=np.int32)[valid]
+    return order, inv, np.asarray(step_pat, np.int32)
+
+
 def _build_bases(bias, mask_bank, gg, mm, n: int):
     """Assemble [n_pat, R, R] additive bases on device: -1e9 off the block
     diagonal, bias[g] + shift_mask[m] on it. bias is the live parameter."""
@@ -121,43 +159,46 @@ def _build_bases(bias, mask_bank, gg, mm, n: int):
 
 def _fwd_kernel(pid_ref, q_ref, k_ref, v_ref, base_ref, o_ref, *,
                 scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # q/k/v blocks: [B_T, hd, R] (transposed pairs); base: [1, R, R]
+    q = q_ref[...].astype(jnp.float32) * scale
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    # s[b, r, c] = sum_d q[b, d, r] k[b, d, c]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s + base_ref[0], axis=-1)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+    p = jax.nn.softmax(s + base_ref[0][None], axis=-1)
+    # o[b, d, r] = sum_c v[b, d, c] p[b, r, c]
+    o_ref[...] = jax.lax.dot_general(
+        v, p, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def _fwd_pallas(qp, kp, vp, bases, pattern_id, scale: float):
-    """qp/kp/vp: [tiles, R, hd]; bases: [n_pat, R, R];
-    pattern_id: [tiles] i32 (scalar-prefetch, SMEM)."""
-    tiles, R, hd = qp.shape
+def _fwd_pallas(qp, kp, vp, bases, step_pattern, scale: float):
+    """qp/kp/vp: [n_steps*B_T, hd, R] pattern-grouped; bases: [n_pat, R, R];
+    step_pattern: [n_steps] i32 (scalar-prefetch, SMEM)."""
+    total, hd, R = qp.shape
+    n_steps = total // _BT
+    tile_spec = pl.BlockSpec((_BT, hd, R), lambda i, pid: (i, 0, 0))
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(tiles,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
-            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
-            pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+            tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, R, R), lambda i, pid: (pid[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, R, hd), lambda i, pid: (i, 0, 0)),
+        out_specs=tile_spec,
     )
-    flops = 2 * R * R * hd * 2 * tiles
+    flops = 2 * R * R * hd * 2 * total
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid_spec=grid,
-        out_shape=jax.ShapeDtypeStruct((tiles, R, hd), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((total, hd, R), qp.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=4 * tiles * R * hd * 4,
-            transcendentals=tiles * R * R),
+            flops=flops, bytes_accessed=4 * total * R * hd * 4,
+            transcendentals=total * R * R),
         interpret=jax.default_backend() != "tpu",
-    )(pattern_id, qp, kp, vp, bases)
+    )(step_pattern, qp, kp, vp, bases)
 
 
 # ------------------------------------------------------------------
@@ -168,35 +209,41 @@ def _bwd_kernel(pid_ref, gg_ref, q_ref, k_ref, v_ref, base_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, db_ref, *, scale: float, n: int,
                 P: int, G: int):
     i = pl.program_id(0)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
 
-    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s + base_ref[0], axis=-1)
-    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+    p = jax.nn.softmax(s + base_ref[0][None], axis=-1)
+    # dp[b, r, c] = sum_d g[b, d, r] v[b, d, c]
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[0] = (scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+    # dq[b, d, r] = scale * sum_c k[b, d, c] ds[b, r, c]
+    dq_ref[...] = (scale * jax.lax.dot_general(
+        k, ds, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)).astype(dq_ref.dtype)
-    dk_ref[0] = (scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+    # dk[b, d, c] = scale * sum_r q[b, d, r] ds[b, r, c]
+    dk_ref[...] = (scale * jax.lax.dot_general(
+        q, ds, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
-    dv_ref[0] = jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())),
+    # dv[b, d, c] = sum_r g[b, d, r] p[b, r, c]
+    dv_ref[...] = jax.lax.dot_general(
+        g, p, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
 
-    # rel-pos-bias gradient: the P diagonal blocks of ds, accumulated into
-    # the resident [G, n, n] output (grid runs sequentially on TPU)
+    # rel-pos-bias gradient: the P diagonal blocks of ds (summed over the
+    # step's tiles), accumulated into the resident [G, n, n] output (grid
+    # runs sequentially on TPU). Padded slots carry g == 0 -> ds == 0.
     @pl.when(i == 0)
     def _init():
         db_ref[...] = jnp.zeros_like(db_ref)
 
     for p_i in range(P):
-        blk = ds[p_i * n:(p_i + 1) * n, p_i * n:(p_i + 1) * n]
+        blk = jnp.sum(ds[:, p_i * n:(p_i + 1) * n, p_i * n:(p_i + 1) * n],
+                      axis=0)
         # per-pattern head-id table (tiny, SMEM): gg[pattern, p] = G-plane
         g_plane = gg_ref[pid_ref[i], p_i]
         sl = (pl.dslice(g_plane, 1), slice(None), slice(None))
@@ -204,13 +251,14 @@ def _bwd_kernel(pid_ref, gg_ref, q_ref, k_ref, v_ref, base_ref, g_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "n", "P", "G"))
-def _bwd_pallas(qp, kp, vp, gp, bases, pattern_id, gg, scale: float,
+def _bwd_pallas(qp, kp, vp, gp, bases, step_pattern, gg, scale: float,
                 n: int, P: int, G: int):
-    tiles, R, hd = qp.shape
-    tile_spec = pl.BlockSpec((1, R, hd), lambda i, pid, gid: (i, 0, 0))
+    total, hd, R = qp.shape
+    n_steps = total // _BT
+    tile_spec = pl.BlockSpec((_BT, hd, R), lambda i, pid, gid: (i, 0, 0))
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles,),
+        grid=(n_steps,),
         in_specs=[
             tile_spec, tile_spec, tile_spec,
             pl.BlockSpec((1, R, R), lambda i, pid, gid: (pid[i], 0, 0)),
@@ -227,37 +275,39 @@ def _bwd_pallas(qp, kp, vp, gp, bases, pattern_id, gg, scale: float,
         functools.partial(_bwd_kernel, scale=scale, n=n, P=P, G=G),
         grid_spec=grid,
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, R, hd), f32),
-            jax.ShapeDtypeStruct((tiles, R, hd), f32),
-            jax.ShapeDtypeStruct((tiles, R, hd), f32),
+            jax.ShapeDtypeStruct((total, hd, R), f32),
+            jax.ShapeDtypeStruct((total, hd, R), f32),
+            jax.ShapeDtypeStruct((total, hd, R), f32),
             jax.ShapeDtypeStruct((G, n, n), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * R * R * hd * 5 * tiles,
-            bytes_accessed=8 * tiles * R * hd * 4,
-            transcendentals=tiles * R * R),
+            flops=2 * R * R * hd * 5 * total,
+            bytes_accessed=8 * total * R * hd * 4,
+            transcendentals=total * R * R),
         interpret=jax.default_backend() != "tpu",
-    )(pattern_id, gg, qp, kp, vp, bases, gp)
+    )(step_pattern, gg, qp, kp, vp, bases, gp)
 
 
 # ------------------------------------------------------------------
 # pair folding / dispatch
 # ------------------------------------------------------------------
 
-def _to_pairs(t, BW, n, G, hd, pad):
-    """[BW, n, G, hd] -> [tiles, R, hd] with pair = w*G + g rows."""
+def _to_pairs(t, BW, n, G, hd, pad, order):
+    """[BW, n, G, hd] -> [n_steps*B_T, hd, R]: pair = w*G + g rows, tiles
+    pattern-grouped by `order` (-1 slots fill with zeros)."""
     t = jnp.moveaxis(t, 2, 1).reshape(BW * G, n, hd)
     if pad:
         t = jnp.concatenate(
             [t, jnp.zeros((pad, n, hd), t.dtype)], axis=0)
     P = _ROWS // n
-    return t.reshape(-1, P * n, hd)
+    t = jnp.moveaxis(t.reshape(-1, P * n, hd), 1, 2)   # [tiles, hd, R]
+    return jnp.take(t, order, axis=0, mode="fill", fill_value=0)
 
 
-def _from_pairs(t, BW, n, G, hd):
-    """[tiles, R, hd] -> [BW, n, G, hd]."""
-    P = _ROWS // n
-    t = t.reshape(-1, n, hd)[:BW * G]
+def _from_pairs(t, BW, n, G, hd, inv):
+    """[n_steps*B_T, hd, R] -> [BW, n, G, hd] (undo grouping via inv)."""
+    t = jnp.take(t, inv, axis=0)                       # [tiles, hd, R]
+    t = jnp.moveaxis(t, 1, 2).reshape(-1, n, hd)[:BW * G]
     return jnp.moveaxis(t.reshape(BW, G, n, hd), 1, 2)
 
 
@@ -270,15 +320,25 @@ def _can_fuse(q, mask) -> bool:
     return True
 
 
+def _structure(BW, n, G, mask):
+    mask_bank, gg, mm, pattern_id, pad = _tile_structure(
+        BW, G, n, None if mask is None else np.asarray(mask))
+    order, inv, step_pattern = _group_tiles(pattern_id, _BT)
+    return mask_bank, gg, mm, pad, order, inv, step_pattern
+
+
 def _fused_fwd(q, k, v, bias, mask, scale):
     """Forward-only fused path (no custom vjp; tests)."""
     BW, n, G, hd = q.shape
-    mask_bank, gg, mm, pattern_id, pad = _tile_structure(BW, G, n, mask)
+    mask_bank, gg, mm, pad, order, inv, step_pattern = _structure(
+        BW, n, G, mask)
     bases = _build_bases(bias, mask_bank, gg, mm, n)
-    qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad) for t in (q, k, v))
-    o = _fwd_pallas(qp, kp, vp, bases, jnp.asarray(pattern_id),
+    order_j = jnp.asarray(order)
+    qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad, order_j)
+                  for t in (q, k, v))
+    o = _fwd_pallas(qp, kp, vp, bases, jnp.asarray(step_pattern),
                     float(scale))
-    return _from_pairs(o, BW, n, G, hd)
+    return _from_pairs(o, BW, n, G, hd, jnp.asarray(inv))
 
 
 def window_attention(q, k, v, bias, mask, scale):
@@ -291,9 +351,9 @@ def window_attention(q, k, v, bias, mask, scale):
     back to the XLA composition. Returns [BW, n, G, hd].
 
     Both passes are fused Pallas kernels: the tile structure (which
-    bias/mask pattern each 128-row tile needs) is computed once at trace
-    time and closed over by a per-call custom_vjp, so autodiff never sees
-    the structure constants.
+    bias/mask pattern each 128-row tile needs, and the pattern-grouped
+    tile order) is computed once at trace time and closed over by a
+    per-call custom_vjp, so autodiff never sees the structure constants.
     """
     from idee_tpu.kernels.runtime import use_pallas
 
@@ -303,17 +363,20 @@ def window_attention(q, k, v, bias, mask, scale):
 
     BW, n, G, hd = q.shape
     P = _ROWS // n
-    mask_bank, gg, mm, pattern_id, pad = _tile_structure(
-        BW, G, n, None if mask is None else np.asarray(mask))
-    pattern_id_j = jnp.asarray(pattern_id)
+    mask_bank, gg, mm, pad, order, inv, step_pattern = _structure(
+        BW, n, G, mask)
+    order_j = jnp.asarray(order)
+    inv_j = jnp.asarray(inv)
+    step_pattern_j = jnp.asarray(step_pattern)
     gg_j = jnp.asarray(gg)
 
     @jax.custom_vjp
     def attend(q, k, v, bias):
         bases = _build_bases(bias, mask_bank, gg, mm, n)
-        qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad) for t in (q, k, v))
-        o = _fwd_pallas(qp, kp, vp, bases, pattern_id_j, float(scale))
-        return _from_pairs(o, BW, n, G, hd)
+        qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad, order_j)
+                      for t in (q, k, v))
+        o = _fwd_pallas(qp, kp, vp, bases, step_pattern_j, float(scale))
+        return _from_pairs(o, BW, n, G, hd, inv_j)
 
     def fwd(q, k, v, bias):
         return attend(q, k, v, bias), (q, k, v, bias)
@@ -321,16 +384,16 @@ def window_attention(q, k, v, bias, mask, scale):
     def bwd(res, g):
         q, k, v, bias = res
         bases = _build_bases(bias, mask_bank, gg, mm, n)
-        qp, kp, vp, gp = (_to_pairs(t, BW, n, G, hd, pad)
+        qp, kp, vp, gp = (_to_pairs(t, BW, n, G, hd, pad, order_j)
                           for t in (q, k, v, g))
         dq, dk, dv, dbias = _bwd_pallas(
-            qp, kp, vp, gp, bases, pattern_id_j, gg_j, float(scale),
+            qp, kp, vp, gp, bases, step_pattern_j, gg_j, float(scale),
             n, P, G)
-        # padded (clamped) pairs attended real data with zero upstream
-        # gradient -> their tiles are zero; nothing to correct
-        return (_from_pairs(dq, BW, n, G, hd).astype(q.dtype),
-                _from_pairs(dk, BW, n, G, hd).astype(k.dtype),
-                _from_pairs(dv, BW, n, G, hd).astype(v.dtype),
+        # padding slots (order == -1) hold zero g -> zero grads; clamped
+        # pairs' extra copies are dropped by the inv gather
+        return (_from_pairs(dq, BW, n, G, hd, inv_j).astype(q.dtype),
+                _from_pairs(dk, BW, n, G, hd, inv_j).astype(k.dtype),
+                _from_pairs(dv, BW, n, G, hd, inv_j).astype(v.dtype),
                 dbias.astype(bias.dtype))
 
     attend.defvjp(fwd, bwd)

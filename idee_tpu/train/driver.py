@@ -199,11 +199,18 @@ def train_synthetic(cfg: Config,
         if use_fused:
             import time as _time
 
+            from idee_tpu.train.steps import epoch_chunks
+
             dyn, ext, anom = train_loader.arrays
             order, ep = train_loader.epoch_order()
             t_ep = _time.perf_counter()
-            state, metrics = train_epoch(state, metrics, dyn, ext, anom,
-                                         order, np.int32(ep))
+            # bounded dispatches (axon watchdog; see Config.fused_chunk),
+            # rng-identical to one full-epoch scan via the start offsets
+            for sl, start in epoch_chunks(order.shape[0],
+                                          getattr(cfg, "fused_chunk", 16)):
+                state, metrics = train_epoch(state, metrics, dyn, ext,
+                                             anom, order[sl], np.int32(ep),
+                                             np.int32(start))
             m = jax.device_get(metrics)  # the only reliable barrier here
             sps = order.shape[0] / (_time.perf_counter() - t_ep)
         else:
@@ -232,10 +239,15 @@ def train_synthetic(cfg: Config,
         metrics = init_epoch_metrics(val_ds.anomaly.shape)
         last_batch = None
         if use_fused:
+            from idee_tpu.train.steps import epoch_chunks
+
             dyn, ext, anom = val_loader.arrays
             order, ep = val_loader.epoch_order()
-            metrics = eval_epoch(model_variables(state), metrics,
-                                 dyn, ext, anom, order, np.int32(ep))
+            for sl, start in epoch_chunks(order.shape[0],
+                                          getattr(cfg, "fused_chunk", 16)):
+                metrics = eval_epoch(model_variables(state), metrics,
+                                     dyn, ext, anom, order[sl],
+                                     np.int32(ep), np.int32(start))
             # one extra fetch for the TensorBoard image panels below
             last_batch = val_loader._fetch(
                 order[-1], jax.random.fold_in(val_loader._key, ep))

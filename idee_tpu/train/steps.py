@@ -180,14 +180,20 @@ def make_train_epoch(model, cfg: Config, loader, t0: float = 0.0,
     for CNN_3D at the bench geometry, scripts/profile_step.py). Scanning
     the epoch on device leaves ONE dispatch + ONE metrics fetch per epoch.
 
-    Returns epoch_fn(state, metrics, dyn, ext, anom, order, epoch) ->
-    (state, metrics); order is the loader's [nb, B] int32 index matrix and
-    epoch the (1-based) epoch number driving the per-batch rng fold, both
-    from loader.epoch_order().
+    Returns epoch_fn(state, metrics, dyn, ext, anom, order, epoch, start)
+    -> (state, metrics); order is the loader's [nb, B] int32 index matrix
+    and epoch the (1-based) epoch number driving the per-batch rng fold,
+    both from loader.epoch_order(). `start` is the in-epoch position of
+    order's first row: the axon TPU worker KILLS programs that execute
+    longer than ~30-60 s (observed: a 27 s dispatch survives, a 67 s one
+    crashes the worker), so the driver slices the epoch into
+    cfg.fused_chunk-step dispatches — passing the running offset keeps the
+    per-batch rng fold (epoch, position) identical to the unchunked scan,
+    which keeps the fused==per-step equality tests exact.
     """
     step = _train_step_body(model, cfg, t0, steps_per_epoch)
 
-    def epoch_fn(state, metrics, dyn, ext, anom, order, epoch):
+    def epoch_fn(state, metrics, dyn, ext, anom, order, epoch, start):
         def body(carry, inp):
             b, idx = inp
             batch = loader.traced_batch(dyn, ext, anom, idx, epoch, b)
@@ -195,10 +201,35 @@ def make_train_epoch(model, cfg: Config, loader, t0: float = 0.0,
 
         nb = order.shape[0]
         carry, _ = jax.lax.scan(body, (state, metrics),
-                                (jnp.arange(nb), order))
+                                (jnp.arange(nb) + start, order))
         return carry
 
     return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+
+def epoch_chunks(nb: int, chunk: int):
+    """Yield (slice, start) pairs covering an nb-step epoch in bounded
+    dispatches of at most `chunk` steps (chunk<=0 means one dispatch).
+
+    Rationale: one dispatch per epoch is the round-2 design, but the axon
+    TPU worker kills programs that execute longer than ~30-60 s (observed:
+    a 27 s dispatch survives, a 67 s one crashes the worker and wedges the
+    chip), which a real epoch (hundreds of steps x 100-500 ms) always
+    exceeds. Callers pass each start offset into the epoch_fn so the
+    chunked composition reproduces the unchunked scan's rng folds exactly.
+    The remainder chunk leads, so its (smaller) program compiles first and
+    every later dispatch reuses the single full-chunk executable.
+    """
+    chunk = int(chunk) if chunk and chunk > 0 else nb
+    rem = nb % chunk
+    pos = 0
+    if rem and nb > chunk:
+        yield slice(0, rem), 0
+        pos = rem
+    while pos < nb:
+        n = min(chunk, nb - pos)
+        yield slice(pos, pos + n), pos
+        pos += n
 
 
 def make_eval_step(model, cfg: Config, t0: float = 0.0,
@@ -231,8 +262,9 @@ def make_eval_epoch(model, cfg: Config, loader, t0: float = 0.0):
     """Fused validation epoch (see make_train_epoch): one jitted scan over
     the val batches, params held constant across the scan.
 
-    Returns epoch_fn(variables, metrics, dyn, ext, anom, order, epoch)
-    -> metrics."""
+    Returns epoch_fn(variables, metrics, dyn, ext, anom, order, epoch,
+    start) -> metrics; see make_train_epoch for the chunked-dispatch
+    `start` contract."""
 
     def one(variables, metrics, batch):
         out = model.apply(variables, batch["x"], train=False,
@@ -245,14 +277,15 @@ def make_eval_epoch(model, cfg: Config, loader, t0: float = 0.0):
                                     cfg.delta_t)
         return metrics
 
-    def epoch_fn(variables, metrics, dyn, ext, anom, order, epoch):
+    def epoch_fn(variables, metrics, dyn, ext, anom, order, epoch, start):
         def body(metrics, inp):
             b, idx = inp
             batch = loader.traced_batch(dyn, ext, anom, idx, epoch, b)
             return one(variables, metrics, batch), None
 
         nb = order.shape[0]
-        metrics, _ = jax.lax.scan(body, metrics, (jnp.arange(nb), order))
+        metrics, _ = jax.lax.scan(body, metrics,
+                                  (jnp.arange(nb) + start, order))
         return metrics
 
     return jax.jit(epoch_fn, donate_argnums=(1,))

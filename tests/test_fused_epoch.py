@@ -36,6 +36,10 @@ def _run(cube, tmp_path, fused, encoder="CNN_3D"):
         batch_size=2, n_epochs=2,
         is_aug=True, is_clima_scale=False,
         device_data=True, fused_epoch=fused, seed=0,
+        # small chunk -> the fused arm runs remainder + full-chunk
+        # dispatches, so this equality test also pins chunked == per-step
+        # (the start-offset rng contract, steps.py::epoch_chunks)
+        fused_chunk=4,
     )
     hist = train_synthetic(cfg, train_cube=cube, val_cube=cube)
     state = hist.pop("state")

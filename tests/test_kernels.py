@@ -195,6 +195,26 @@ class TestWindowAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_group_tiles_invariants(self):
+        """Pattern grouping (round-3 batched kernel): every tile appears
+        exactly once, groups are pattern-uniform, padding slots are
+        out-of-bounds-HIGH (mode='fill' wraps negatives), and inv
+        round-trips."""
+        from idee_tpu.kernels.window_attention import _BT, _group_tiles
+
+        rng = np.random.default_rng(5)
+        pattern_id = rng.integers(0, 7, 1000).astype(np.int32)
+        order, inv, step_pattern = _group_tiles(pattern_id, _BT)
+        assert order.shape[0] == step_pattern.shape[0] * _BT
+        valid = order < 1000
+        assert (order[~valid] == 1000).all()          # fill sentinel
+        assert np.array_equal(np.sort(order[valid]), np.arange(1000))
+        assert np.array_equal(order[inv], np.arange(1000))  # round trip
+        # each step's real tiles share the step's pattern
+        for s in range(step_pattern.shape[0]):
+            sl = order[s * _BT:(s + 1) * _BT]
+            assert (pattern_id[sl[sl < 1000]] == step_pattern[s]).all()
+
     def test_unfusable_dispatches_to_xla(self):
         from idee_tpu.kernels.window_attention import (_can_fuse, _xla_impl,
                                                        window_attention)
