@@ -40,6 +40,12 @@ Env knobs:
   BENCH_FORCE_XLA 1 = route every Pallas kernel to its XLA fallback
                   (A/B the fused kernels against XLA composition at the
                   bench geometry on the same silicon)
+  BENCH_CHUNK     steps per fused-epoch dispatch (default 16; the axon
+                  worker kills dispatches running longer than ~30-60 s)
+  IDEE_ATTN_PALLAS=1 opts the fused window-attention kernel in (default
+                  is the XLA composition, which wins in-program --
+                  BASELINE.md kernel A/B); IDEE_SCAN_PALLAS=0 opts the
+                  selective-scan kernels out
 """
 # ------------------------------------------------------------------
 

@@ -46,6 +46,27 @@ def scan_pallas_enabled() -> bool:
     return _SCAN_PALLAS_DEFAULT
 
 
+def attn_pallas_enabled() -> bool:
+    """Gate for the fused window-attention kernels specifically.
+
+    The round-3 batched/pattern-grouped kernel beats the XLA composition
+    in ISOLATION at every stage geometry (scripts/bench_attention.py:
+    stage1 fwd+bwd 16.5 ms vs 26.9) but the full train step is still ~6%
+    faster with the XLA composition (3.95 vs 3.72 steps/s at the bench
+    geometry, 2026-08-18): inside the whole program XLA fuses attention
+    into its neighbors while the custom-vjp kernel pays un-fusable
+    fold/sort wrapper passes. Default therefore XLA; IDEE_ATTN_PALLAS=1
+    opts the kernel in (and =0 forces it off under force_pallas-less
+    callers). BASELINE.md "kernel A/B" carries the measurements.
+    """
+    if _FORCE_PALLAS:
+        return True  # tests exercise the kernel in interpret mode
+    env = os.environ.get("IDEE_ATTN_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def set_force_pallas(value: bool) -> None:
     """Route kernels to their Pallas implementations even off-TPU (they run
     in interpret mode there) -- for correctness tests on CPU."""

@@ -146,10 +146,12 @@ def _build_bases(bias, mask_bank, gg, mm, n: int):
     n_pat, P = gg.shape
     blocks = (bias.astype(jnp.float32)[jnp.asarray(gg)]
               + jnp.asarray(mask_bank)[jnp.asarray(mm)])  # [n_pat, P, n, n]
-    base = jnp.full((n_pat, P, n, P, n), _NEG, jnp.float32)
-    idx = jnp.arange(P)
-    base = base.at[:, idx, :, idx, :].set(
-        jnp.moveaxis(blocks, 1, 0))  # advanced-index axis goes first
+    # place blocks on the P-diagonal via a broadcast multiply (an
+    # .at[:, i, :, i, :].set scatter lowers to a 2.6 ms gather/scatter on
+    # TPU; this is one fused elementwise pass over the tiny bank)
+    eye = jnp.eye(P, dtype=jnp.float32)[None, :, None, :, None]
+    base = (blocks[:, :, :, None, :] * eye
+            + _NEG * (1.0 - eye))                  # [n_pat, P, n, P, n]
     return base.reshape(n_pat, P * n, P * n)
 
 
@@ -355,9 +357,10 @@ def window_attention(q, k, v, bias, mask, scale):
     tile order) is computed once at trace time and closed over by a
     per-call custom_vjp, so autodiff never sees the structure constants.
     """
-    from idee_tpu.kernels.runtime import use_pallas
+    from idee_tpu.kernels.runtime import attn_pallas_enabled, use_pallas
 
-    if (not use_pallas() or not _can_fuse(q, mask)
+    if (not use_pallas() or not attn_pallas_enabled()
+            or not _can_fuse(q, mask)
             or isinstance(mask, jax.core.Tracer)):
         return _xla_impl(q, k, v, bias, mask, scale)
 

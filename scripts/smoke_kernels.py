@@ -106,6 +106,9 @@ def _attn_args(seed=0):
 
 def run_check(name: str) -> dict:
     os.environ["IDEE_SCAN_PALLAS"] = "1"  # opt the scan kernels in
+    os.environ["IDEE_ATTN_PALLAS"] = "1"  # opt the attention kernels in
+    # (the smoke compares each kernel against its XLA fallback, so both
+    # opt-ins are required regardless of the production defaults)
     import jax
     import jax.numpy as jnp
     import numpy as np

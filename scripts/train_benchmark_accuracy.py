@@ -47,6 +47,18 @@ def main():
                     "200x200x40y takes ~20 min of single-core time; the "
                     "cube is deterministic in --seed, so later runs load "
                     "this instead)")
+    ap.add_argument("--density_ref_hw", type=int, default=48,
+                    help="hold the planted event density PER UNIT AREA at "
+                    "the level of this reference grid size (events_per_year "
+                    "scales by (hw/ref)^2). The generator's event radii are "
+                    "absolute (6-20 px), so without this the extreme areal "
+                    "rate collapses from 11.4%% at 48x48 to 0.88%% at "
+                    "200x200 -- below what the reference's inverse-"
+                    "frequency BCE weighting (models/losses.py:115-118, "
+                    "w_pos/w_neg only ~3.3 at 0.9%% positives) can lift "
+                    "out of the all-negative optimum; measured: 15 epochs "
+                    "at 0.88%% stay pinned at zero predicted extremes. "
+                    "0 disables the scaling.")
     args = ap.parse_args()
 
     name = args.name or f"acc_{args.encoder}_{args.hw}"
@@ -78,8 +90,12 @@ def main():
     if args.cube_npz and os.path.exists(args.cube_npz):
         cube = load_cube_npz(args.cube_npz)
     else:
+        dens = ((args.hw / args.density_ref_hw) ** 2
+                if args.density_ref_hw else 1.0)
         cube = make_benchmark_cube(n_vars=6, n_time=n_time, height=args.hw,
-                                   width=args.hw, seed=args.seed)
+                                   width=args.hw, seed=args.seed,
+                                   events_per_year=8.0 * dens,
+                                   distractors_per_year=10.0 * dens)
         if args.cube_npz:
             save_cube_npz(args.cube_npz, cube)
     history = train_synthetic(
