@@ -38,6 +38,19 @@ def _log(p):
     return jnp.log(jnp.clip(p, _EPS, 1.0))
 
 
+def _norm2(x, axis=-1):
+    """L2 norm whose gradient is finite at x == 0.
+
+    torch.norm's subgradient at 0 is 0 and torch's pairwise_distance adds
+    eps=1e-6 inside the root, so the reference MIL losses never NaN on
+    all-zero feature rows (which instance drop produces); jnp.linalg.norm
+    differentiates to NaN there — observed as MGFN's loss going NaN in
+    epoch 2 of the 48x48 zoo run. The 1e-12 shift changes values by
+    < 1e-6 and leaves top-k rankings untouched.
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + _EPS)
+
+
 def masked_topk(values, mask, k: int):
     """Top-k of ``values`` [P, ...] along axis 0 restricted to mask [P].
 
@@ -124,8 +137,8 @@ def rtfm_loss(scores, features, mask_p, mask_n, k: int,
         f_p = features * _bern_keep(r1, (P,), drop_rate)[:, None, None]
         f_n = features * _bern_keep(r2, (P,), drop_rate)[:, None, None]
 
-    mag_p = jnp.linalg.norm(f_p, axis=-1)  # [P, T]
-    mag_n = jnp.linalg.norm(f_n, axis=-1)
+    mag_p = _norm2(f_p)  # [P, T]
+    mag_n = _norm2(f_n)
     _, idx_p, ok_p = masked_topk(mag_p, mask_p, k)   # idx [k, T]
     _, idx_n, ok_n = masked_topk(mag_n, mask_n, k)
 
@@ -137,15 +150,16 @@ def rtfm_loss(scores, features, mask_p, mask_n, k: int,
     def sel_feat(f, idx):  # [P,T,C], [k,T] -> [k,T,C]
         return jnp.take_along_axis(f, idx[..., None], axis=0)
 
-    fp_mean = jnp.linalg.norm(sel_feat(f_p, idx_p).mean(0), axis=-1)  # [T]
-    fn_mean = jnp.linalg.norm(sel_feat(f_n, idx_n).mean(0), axis=-1)
+    fp_mean = _norm2(sel_feat(f_p, idx_p).mean(0))  # [T]
+    fn_mean = _norm2(sel_feat(f_n, idx_n).mean(0))
     loss_rtfm = jnp.mean((jnp.abs(margin - fp_mean) + fn_mean) ** 2)
     return loss_n + loss_p + alpha * loss_rtfm
 
 
 def contrastive_loss(o1, o2, label: float, margin: float = 100.0):
     """Row-wise euclidean contrastive (reference: losses.py:259-269)."""
-    d = jnp.linalg.norm(o1 - o2, axis=-1, keepdims=True)
+    # torch pairwise_distance eps semantics: finite grad at o1 == o2
+    d = _norm2(o1 - o2)[..., None]
     return jnp.mean((1.0 - label) * d ** 2
                     + label * jnp.abs(margin - d) ** 2)
 
@@ -172,8 +186,8 @@ def mgfn_loss(scores, features, mask_p, mask_n, k: int = 100,
             P = f_p.shape[0]
             f_p = f_p * _bern_keep(r1, (P,), drop_rate)[:, None, None]
             f_n = f_n * _bern_keep(r2, (P,), drop_rate)[:, None, None]
-        mag_p = jnp.linalg.norm(f_p, axis=-1)
-        mag_n = jnp.linalg.norm(f_n, axis=-1)
+        mag_p = _norm2(f_p)
+        mag_n = _norm2(f_n)
         _, idx_p, ok_p = masked_topk(mag_p, mask_p[b], k)
         _, idx_n, ok_n = masked_topk(mag_n, mask_n[b], k)
         s_p = jnp.take_along_axis(scores[b], idx_p, axis=0)
