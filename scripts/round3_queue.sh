@@ -18,16 +18,21 @@ if [ -f /tmp/acc_run.pid ]; then
 fi
 
 run_acc () {
-  ENC=$1
-  echo "[queue] start $ENC $(date)" >> "$LOG"
+  ENC=$1; BATCH=$2
+  echo "[queue] start $ENC batch=$BATCH $(date)" >> "$LOG"
   timeout 6h python scripts/train_benchmark_accuracy.py \
-    --encoder "$ENC" --epochs 15 --cube_npz /tmp/cube200.npz \
+    --encoder "$ENC" --epochs 15 --batch "$BATCH" \
+    --cube_npz /tmp/cube200.npz \
     --out "/tmp/acc_${ENC}_200.json" >> "/tmp/acc_${ENC,,}.log" 2>&1
-  echo "[queue] $ENC exit=$? $(date)" >> "$LOG"
+  RC=$?
+  echo "[queue] $ENC batch=$BATCH exit=$RC $(date)" >> "$LOG"
+  return $RC
 }
 
-run_acc Swin_3D
-run_acc Mamba
+# batch 4 first (matches the CNN row); OOM at this geometry is the known
+# risk for the heavier backbones -> retry once at batch 2
+run_acc Swin_3D 4 || run_acc Swin_3D 2
+run_acc Mamba 4 || run_acc Mamba 2
 
 # 2. SimpleNet zoo row with the stable-recipe pretrained backbone
 CKPT=""
