@@ -245,19 +245,29 @@ class GroupedLayerNorm3d(nn.Module):
         # minor dims tile-pad 8-21x): one [V*C, V*C] block-constant
         # projection matmul yields the group means already broadcast back
         # to the packed layout -- everything stays [..., V*C] on the MXU.
-        proj = jnp.kron(jnp.eye(V, dtype=jnp.float32),
-                        jnp.full((C, C), 1.0 / C, jnp.float32))
-        y = x.astype(jnp.float32)
-        mu = y @ proj
-        d = y - mu
-        var = jnp.square(d) @ proj  # two-pass: no E[x^2]-mu^2 cancellation
-        y = d * jax.lax.rsqrt(var + self.eps)
+        # Intermediates stay in the input dtype (the [.., H, W, V*C] temps
+        # dominate the train-step HBM peak at 200x200 -- fp32 copies here
+        # cost 300 MB each and OOM the 16 GB chip at batch 2); moments
+        # still accumulate in float32 on the MXU via preferred_element_type
+        # and the rsqrt runs in float32, so only the ~1e-3 bf16 rounding of
+        # already-normalized values remains. For float32 inputs (goldens,
+        # CPU tests) the math is bit-identical to an all-fp32 pass.
+        proj = jnp.kron(jnp.eye(V, dtype=x.dtype),
+                        jnp.full((C, C), 1.0 / C, x.dtype))
+        mu = jnp.matmul(x, proj,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        d = x - mu
+        # two-pass: no E[x^2]-mu^2 cancellation
+        var = jnp.matmul(jnp.square(d), proj,
+                         preferred_element_type=jnp.float32)
+        y = d * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones_init(),
                                (V, C), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros_init(),
                               (V, C), jnp.float32)
-            y = y * scale.reshape(V * C) + bias.reshape(V * C)
+            y = (y * scale.reshape(V * C).astype(x.dtype)
+                 + bias.reshape(V * C).astype(x.dtype))
         dtype = self.dtype or x.dtype
         return y.astype(dtype)
 

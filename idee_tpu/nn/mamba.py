@@ -36,7 +36,7 @@ import numpy as np
 
 from idee_tpu.nn.cnn3d import GroupedProjHead, pack_variables, unpack_variables
 from idee_tpu.nn.layers import (DropPath, GroupedDense, GroupedLayerNorm3d,
-                                reference_init)
+                                lecun_normal_init, reference_init)
 from idee_tpu.nn.swin3d import (PackedPatchEmbed3D, get_window_size,
                                 window_partition, window_reverse)
 
@@ -131,7 +131,8 @@ class PackedMambaSSM(nn.Module):
         # feature_group_count=V*d_inner conv_general_dilated, which XLA:TPU
         # lowers per-group (compile-time and launch overhead for 96 groups,
         # zero MXU work since every "matmul" is 1x1)
-        conv_k = self.param("conv1d_kernel", self.kernel_init,
+        conv_k = self.param("conv1d_kernel",
+                            self.kernel_init or lecun_normal_init(self.d_conv),
                             (V, self.d_conv, 1, d_inner))
         conv_b = self.param("conv1d_bias", nn.initializers.zeros_init(),
                             (V, d_inner))

@@ -114,3 +114,17 @@ def test_gradients_reach_all_params(tiny_config):
                   if not np.any(np.asarray(g))]
     # every parameter should receive gradient signal
     assert not zero_paths, f"zero grads at: {zero_paths[:10]}"
+
+
+@pytest.mark.parametrize("encoder", ["CNN_3D", "Swin_3D", "Mamba"])
+@pytest.mark.parametrize("scheme", ["reference", "zero_mean", "lecun"])
+def test_init_schemes_all_encoders(tiny_config, encoder, scheme):
+    """Every init_scheme must initialize every backbone (regression: the
+    lecun scheme passes kernel_init=None down the towers and raw
+    self.param sites must fall back to a fan-in default -- the Mamba
+    conv1d_kernel crashed with 'NoneType is not callable')."""
+    cfg = tiny_config.replace(encoder=encoder, init_scheme=scheme)
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 1, 8, 16, 16))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert count_parameters(variables["params"]) > 0
