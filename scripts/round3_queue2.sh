@@ -26,5 +26,16 @@ run_acc () {
 # ~36.5 min/epoch measured for Swin_3D (0.404 steps/s, 884 steps/epoch),
 # ~18.5 min/epoch for Mamba (0.796 steps/s)
 run_acc Swin_3D 2 3 130m
-run_acc Mamba 2 4 95m
+# Time-guard the Mamba leg: the chip must be free before the driver's
+# round-end bench.py run (~01:00 UTC). Scale epochs to what fits.
+LEFT_MIN=$(( ( $(date -d '2026-08-19 00:40 UTC' +%s) - $(date +%s) ) / 60 ))
+if [ "$LEFT_MIN" -ge 75 ]; then
+  run_acc Mamba 2 3 "${LEFT_MIN}m"
+elif [ "$LEFT_MIN" -ge 50 ]; then
+  run_acc Mamba 2 2 "${LEFT_MIN}m"
+elif [ "$LEFT_MIN" -ge 30 ]; then
+  run_acc Mamba 2 1 "${LEFT_MIN}m"
+else
+  echo "[queue2] skip Mamba: only ${LEFT_MIN}m before round-end bench" >> "$LOG"
+fi
 echo "[queue2] done $(date)" >> "$LOG"
