@@ -26,16 +26,17 @@ run_acc () {
 # ~36.5 min/epoch measured for Swin_3D (0.404 steps/s, 884 steps/epoch),
 # ~18.5 min/epoch for Mamba (0.796 steps/s)
 run_acc Swin_3D 2 3 130m
-# Time-guard the Mamba leg: the chip must be free before the driver's
-# round-end bench.py run (~01:00 UTC). Scale epochs to what fits.
-LEFT_MIN=$(( ( $(date -d '2026-08-19 00:40 UTC' +%s) - $(date +%s) ) / 60 ))
-if [ "$LEFT_MIN" -ge 75 ]; then
-  run_acc Mamba 2 3 "${LEFT_MIN}m"
-elif [ "$LEFT_MIN" -ge 50 ]; then
-  run_acc Mamba 2 2 "${LEFT_MIN}m"
-elif [ "$LEFT_MIN" -ge 30 ]; then
-  run_acc Mamba 2 1 "${LEFT_MIN}m"
+run_acc Mamba 2 4 95m
+# Swin batch 2 OOMs with the full 40-year device cube (+2.1G over HBM);
+# batch 1 is the proven bench geometry. Time-box to leave the chip free
+# for the driver's round-end bench.py (~01:00 UTC).
+LEFT_MIN=$(( ( $(date -d '2026-08-19 00:30 UTC' +%s) - $(date +%s) ) / 60 ))
+if [ "$LEFT_MIN" -ge 20 ]; then
+  run_acc Swin_3D 1 6 "${LEFT_MIN}m"
 else
-  echo "[queue2] skip Mamba: only ${LEFT_MIN}m before round-end bench" >> "$LOG"
+  echo "[queue2] skip Swin retry: only ${LEFT_MIN}m left" >> "$LOG"
 fi
+python scripts/harvest_round3_accuracy.py >> "$LOG" 2>&1
+git add BASELINE.md >> "$LOG" 2>&1
+git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" >> "$LOG" 2>&1
 echo "[queue2] done $(date)" >> "$LOG"
