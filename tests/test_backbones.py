@@ -136,3 +136,33 @@ def test_mamba_encoder_contract():
     y = model.apply(v, x, train=False)
     assert y.shape == (1, 2, 8, 8, 8, 8)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_grouped_layernorm_bf16_matches_f32():
+    """The bf16 fast path (round-3 HBM fix) must track the f32 math.
+
+    GroupedLayerNorm3d keeps its [.., V*C] intermediates in the input
+    dtype with f32 MXU accumulation (nn/layers.py); for bf16 inputs only
+    the final rounding of already-normalized values may differ from an
+    all-f32 pass. Guards the memory fix against silent numeric drift.
+    """
+    from idee_tpu.nn.layers import GroupedLayerNorm3d
+
+    rng = np.random.default_rng(0)
+    V, C = 6, 16
+    x64 = rng.normal(3.0, 5.0, (2, 4, 5, 7, V * C))
+    ln = GroupedLayerNorm3d(n_groups=V, features=C)
+    params = ln.init(jax.random.key(0), jnp.zeros((1, 1, 1, 1, V * C)))
+
+    y32 = ln.apply(params, jnp.asarray(x64, jnp.float32))
+    y16 = ln.apply(params, jnp.asarray(x64, jnp.bfloat16))
+    assert y16.dtype == jnp.bfloat16
+    # normalized values are O(1); bf16 has ~3 decimal digits
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), atol=2e-2, rtol=2e-2)
+    # and the f32 path itself is exact vs a plain per-group numpy norm
+    xg = x64.reshape(2, 4, 5, 7, V, C)
+    mu = xg.mean(-1, keepdims=True)
+    var = ((xg - mu) ** 2).mean(-1, keepdims=True)
+    ref = ((xg - mu) / np.sqrt(var + 1e-5)).reshape(x64.shape)
+    np.testing.assert_allclose(np.asarray(y32), ref, atol=1e-4)
