@@ -67,6 +67,25 @@ def attn_pallas_enabled() -> bool:
     return False
 
 
+def attn_xfold_enabled() -> bool:
+    """Gate for the pair-folded PURE-XLA window attention.
+
+    Same 128-lane pair folding as the Pallas kernel (16 window*head pairs
+    fill one MXU tile; block-diagonal additive bases mask cross-pair
+    attention) but expressed as plain jnp einsums so (a) every tensor has
+    a perfectly-tiled [tiles, hd, 128] / [tiles, 128, 128] layout -- the
+    unfolded composition's [BW, n, G, hd] temps tile-pad 16x -- and
+    (b) XLA can fuse it into the surrounding program, which is where the
+    custom-vjp Pallas kernel loses its isolated win (see
+    attn_pallas_enabled). Opt-in via IDEE_ATTN_XFOLD=1 until it beats the
+    unfolded composition in a full-step A/B on silicon.
+    """
+    env = os.environ.get("IDEE_ATTN_XFOLD")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def set_force_pallas(value: bool) -> None:
     """Route kernels to their Pallas implementations even off-TPU (they run
     in interpret mode there) -- for correctness tests on CPU."""

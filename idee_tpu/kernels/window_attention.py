@@ -313,6 +313,47 @@ def _from_pairs(t, BW, n, G, hd, inv):
     return jnp.moveaxis(t.reshape(BW, G, n, hd), 1, 2)
 
 
+def _xla_folded(q, k, v, bias, mask, scale):
+    """Pair-folded attention in PURE XLA (no pallas_call).
+
+    Same trace-time tiling as the Pallas kernels -- P = 128//n
+    (window, head) pairs fill one 128-row MXU tile; the [n_pat, R, R]
+    additive bases carry bias + shift mask on the block diagonal and
+    -1e9 off it, so softmax zeroes cross-pair attention -- but the
+    compute is three fusable einsums. Every tensor is laid out
+    [tiles, hd, R] / [tiles, R, R] (minor dims 8x128 / 128x128), i.e.
+    ZERO tile padding, where the unfolded composition's [BW, n, G, hd]
+    temps pad 16x (measured: two 1.83 GB copies of 117 MB of data in the
+    batch-2 train step). Backward is plain autodiff: the base gather
+    scatter-adds into the bank and _build_bases' VJP extracts the
+    block-diagonal bias gradient. softmax accumulates in f32; the
+    probability matrix is cast back to the input dtype for the second
+    matmul (halves its HBM traffic; values are O(1)).
+    """
+    BW, n, G, hd = q.shape
+    P = _ROWS // n
+    mask_bank, gg, mm, pattern_id, pad = _tile_structure(
+        BW, G, n, None if mask is None else np.asarray(mask))
+    bases = _build_bases(bias, mask_bank, gg, mm, n)      # [n_pat, R, R]
+    base = jnp.take(bases, jnp.asarray(pattern_id), axis=0)
+
+    def fold(t):
+        t = jnp.moveaxis(t, 2, 1).reshape(BW * G, n, hd)
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.zeros((pad, n, hd), t.dtype)], axis=0)
+        return jnp.moveaxis(t.reshape(-1, P * n, hd), 1, 2)
+
+    qp, kp, vp = fold(q), fold(k), fold(v)                # [tiles, hd, R]
+    s = jnp.einsum("bdr,bdc->brc", qp * scale, kp,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s + base, axis=-1).astype(v.dtype)
+    o = jnp.einsum("brc,bdc->bdr", p, vp,
+                   preferred_element_type=jnp.float32).astype(v.dtype)
+    o = jnp.moveaxis(o, 1, 2).reshape(-1, n, hd)[:BW * G]
+    return jnp.moveaxis(o.reshape(BW, G, n, hd), 1, 2)
+
+
 def _can_fuse(q, mask) -> bool:
     BW, n, G, hd = q.shape
     if n > _ROWS or _ROWS % n != 0:
@@ -357,11 +398,13 @@ def window_attention(q, k, v, bias, mask, scale):
     tile order) is computed once at trace time and closed over by a
     per-call custom_vjp, so autodiff never sees the structure constants.
     """
-    from idee_tpu.kernels.runtime import attn_pallas_enabled, use_pallas
+    from idee_tpu.kernels.runtime import (attn_pallas_enabled,
+                                          attn_xfold_enabled, use_pallas)
 
-    if (not use_pallas() or not attn_pallas_enabled()
-            or not _can_fuse(q, mask)
-            or isinstance(mask, jax.core.Tracer)):
+    foldable = _can_fuse(q, mask) and not isinstance(mask, jax.core.Tracer)
+    if foldable and attn_xfold_enabled():
+        return _xla_folded(q, k, v, bias, mask, scale)
+    if not use_pallas() or not attn_pallas_enabled() or not foldable:
         return _xla_impl(q, k, v, bias, mask, scale)
 
     BW, n, G, hd = q.shape

@@ -322,3 +322,59 @@ class TestFusedSelectiveScan:
         y_gen = selective_scan_packed(u, delta, A2, B2, C2, D, z, V)
         np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_gen),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestXlaFoldedAttention:
+    """Pair-folded PURE-XLA attention (_xla_folded) vs the unfolded XLA
+    composition — forward and full autodiff, masked and unmasked."""
+
+    _inputs = TestWindowAttention._inputs
+    _shift_mask = TestWindowAttention._shift_mask
+
+    def test_forward_matches(self):
+        from idee_tpu.kernels.window_attention import _xla_folded, _xla_impl
+
+        q, k, v, bias = self._inputs(BW=24, n=8, G=12)
+        ref = _xla_impl(q, k, v, bias, None, 0.35)
+        out = _xla_folded(q, k, v, bias, None, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_forward_masked_padded(self):
+        from idee_tpu.kernels.window_attention import _xla_folded, _xla_impl
+
+        nW = 6
+        # BW*G=36 pairs, P=16 -> padded tail tile exercises the zero fill
+        q, k, v, bias = self._inputs(BW=2 * nW, n=8, G=3)
+        mask = self._shift_mask(nW, 8)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        out = _xla_folded(q, k, v, bias, mask, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_grads_match(self):
+        from idee_tpu.kernels.window_attention import _xla_folded, _xla_impl
+
+        nW = 4
+        q, k, v, bias = self._inputs(BW=3 * nW, n=8, G=12)
+        mask = self._shift_mask(nW, 8)
+
+        def loss(impl, args):
+            out = impl(*args, mask, 0.35)
+            return jnp.sum(jnp.sin(out))
+
+        g_ref = jax.grad(lambda a: loss(_xla_impl, a))((q, k, v, bias))
+        g_new = jax.grad(lambda a: loss(_xla_folded, a))((q, k, v, bias))
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_dispatch_opt_in(self, monkeypatch):
+        from idee_tpu.kernels import window_attention as wa
+
+        q, k, v, bias = self._inputs(BW=12, n=8, G=12)
+        monkeypatch.setenv("IDEE_ATTN_XFOLD", "1")
+        out = wa.window_attention(q, k, v, bias, None, 0.35)
+        ref = wa._xla_impl(q, k, v, bias, None, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
