@@ -39,4 +39,15 @@ fi
 python scripts/harvest_round3_accuracy.py >> "$LOG" 2>&1
 git add BASELINE.md >> "$LOG" 2>&1
 git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" >> "$LOG" 2>&1
+# Full-step A/B of the pair-folded pure-XLA attention (opt-in path) at
+# the bench geometry; ~10 min, chip is free by here. Results land in
+# /tmp/ab_*.json for the default-flip decision.
+if [ $(( ( $(date -d '2026-08-19 00:40 UTC' +%s) - $(date +%s) ) / 60 )) -ge 15 ]; then
+  BENCH_ENCODER=Swin_3D BENCH_REPEAT=2 timeout 12m \
+    python bench.py > /tmp/ab_default.json 2>/tmp/ab_default.log
+  IDEE_ATTN_XFOLD=1 BENCH_ENCODER=Swin_3D BENCH_REPEAT=2 timeout 12m \
+    python bench.py > /tmp/ab_xfold.json 2>/tmp/ab_xfold.log
+  echo "[queue2] A/B default: $(cat /tmp/ab_default.json)" >> "$LOG"
+  echo "[queue2] A/B xfold:   $(cat /tmp/ab_xfold.json)" >> "$LOG"
+fi
 echo "[queue2] done $(date)" >> "$LOG"
