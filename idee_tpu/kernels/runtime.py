@@ -77,8 +77,12 @@ def attn_xfold_enabled() -> bool:
     unfolded composition's [BW, n, G, hd] temps tile-pad 16x -- and
     (b) XLA can fuse it into the surrounding program, which is where the
     custom-vjp Pallas kernel loses its isolated win (see
-    attn_pallas_enabled). Opt-in via IDEE_ATTN_XFOLD=1 until it beats the
-    unfolded composition in a full-step A/B on silicon.
+    attn_pallas_enabled). Measured full-step A/B at the bench geometry
+    (2026-08-18, median of 2): unfolded 4.091 steps/s vs folded 3.146
+    (-23%) -- the fold's 16x extra MXU work in the dense 128x128 score
+    tiles and the f32 [tiles,128,128] score materialization cost more
+    than the 16x tile-padding it removes. Stays opt-in via
+    IDEE_ATTN_XFOLD=1 as a documented negative result.
     """
     env = os.environ.get("IDEE_ATTN_XFOLD")
     if env is not None:
