@@ -79,8 +79,18 @@ def main():
         new_row = (f"| {enc} | {batch} | {eps} | "
                    f"**{ext:.3f}** | **{drv:.3f}** |")
         md, n = row_re.subn(new_row, md)
+        fresh = bool(n)
+        if not n:
+            # idempotent re-harvest: update a previously-filled row
+            # (5 cells, bold numbers -- distinguishes the accuracy table
+            # from the other per-encoder tables); no duplicate note
+            filled_re = re.compile(
+                r"^\| %s \| \d+ \| \d+ \| \*\*[\d.]+\*\* \| "
+                r"\*\*[\d.nan]+\*\* \|$" % enc, re.M)
+            md, n = filled_re.subn(new_row, md)
         if n:
             changed = True
+        if fresh:
             notes.append(
                 f"{enc} measured 2026-08-19 (time-boxed to the round "
                 f"budget, {eps} epochs completed; source: {src}): best "
