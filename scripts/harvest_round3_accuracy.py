@@ -102,7 +102,7 @@ def main():
               f"epochs {eps} [{src}]")
     if changed:
         if notes:
-            anchor = "Swin_3D runs at batch 2:"
+            anchor = "Swin_3D runs at batch 1 with the full device-resident"
             md = md.replace(anchor, "\n\n".join(notes) + "\n\n" + anchor, 1)
         open(BASELINE, "w").write(md)
         print("BASELINE.md updated")
