@@ -41,27 +41,44 @@ FALLBACK_BATCH = {"Swin_3D": 1, "Mamba": 2}
 
 
 def harvest(enc):
-    """Return (best_extremes, best_driver, epochs_seen, batch, source)."""
+    """Return (best_extremes, best_driver, epochs_seen, batch, source).
+
+    A resumed run's JSON history covers only the epochs of that
+    invocation, while the driver log accumulates EVERY epoch across
+    resumes (and a timed-out run writes no JSON at all) -- so merge the
+    maxima of both sources. nan epochs (no positive predictions) are
+    skipped by _floats.
+    """
+    ext, drv, eps, batch, src = [], [], 0, None, []
     jpath = f"/tmp/acc_{enc}_200.json"
     if os.path.exists(jpath):
         try:
             d = json.load(open(jpath))
             hist = d.get("history") or {}
-            if d.get("best_val_f1") is not None and hist.get("val_f1"):
-                return (max(hist["val_f1"]), max(hist["val_anom_f1"]),
-                        len(hist["val_f1"]), d.get("batch"), "json")
+            if hist.get("val_f1"):
+                ext += [v for v in hist["val_f1"] if v == v]
+                drv += [v for v in hist["val_anom_f1"] if v == v]
+                eps = max(eps, len(hist["val_f1"]))
+                batch = d.get("batch")
+                src.append("json")
         except Exception:
             pass
     lpath = f"/tmp/acc_runs/acc_{enc}_200/log_file.txt"
     if os.path.exists(lpath):
         text = open(lpath).read()
-        ext = _floats(EXTREMES_RE, text)
-        drv = _floats(DRIVER_RE, text)
-        if ext:
-            return (max(ext), max(drv) if drv else float("nan"),
-                    len(ext), FALLBACK_BATCH.get(enc),
-                    "log (run timed out before the JSON)")
-    return None
+        lext, ldrv = _floats(EXTREMES_RE, text), _floats(DRIVER_RE, text)
+        if lext or ldrv:
+            ext += lext
+            drv += ldrv
+            epoch_nums = _floats(re.compile(r"Epoch \((\d+)/", re.M), text)
+            if epoch_nums:
+                eps = max(eps, int(max(epoch_nums)))
+            src.append("log, all resumed epochs")
+    if not ext and not drv:
+        return None
+    return (max(ext) if ext else float("nan"),
+            max(drv) if drv else float("nan"),
+            int(eps), batch or FALLBACK_BATCH.get(enc), " + ".join(src))
 
 
 def main():
