@@ -296,19 +296,24 @@ def _bwd_pallas(qp, kp, vp, gp, bases, step_pattern, gg, scale: float,
 
 def _to_pairs(t, BW, n, G, hd, pad, order):
     """[BW, n, G, hd] -> [n_steps*B_T, hd, R]: pair = w*G + g rows, tiles
-    pattern-grouped by `order` (-1 slots fill with zeros)."""
+    pattern-grouped by `order` (-1 slots fill with zeros); order=None
+    keeps the natural tile order (pure-XLA folded path)."""
     t = jnp.moveaxis(t, 2, 1).reshape(BW * G, n, hd)
     if pad:
         t = jnp.concatenate(
             [t, jnp.zeros((pad, n, hd), t.dtype)], axis=0)
     P = _ROWS // n
     t = jnp.moveaxis(t.reshape(-1, P * n, hd), 1, 2)   # [tiles, hd, R]
+    if order is None:
+        return t
     return jnp.take(t, order, axis=0, mode="fill", fill_value=0)
 
 
 def _from_pairs(t, BW, n, G, hd, inv):
-    """[n_steps*B_T, hd, R] -> [BW, n, G, hd] (undo grouping via inv)."""
-    t = jnp.take(t, inv, axis=0)                       # [tiles, hd, R]
+    """[n_steps*B_T, hd, R] -> [BW, n, G, hd] (undo grouping via inv;
+    inv=None when the tiles were never reordered)."""
+    if inv is not None:
+        t = jnp.take(t, inv, axis=0)                   # [tiles, hd, R]
     t = jnp.moveaxis(t, 1, 2).reshape(-1, n, hd)[:BW * G]
     return jnp.moveaxis(t.reshape(BW, G, n, hd), 1, 2)
 
@@ -331,27 +336,19 @@ def _xla_folded(q, k, v, bias, mask, scale):
     matmul (halves its HBM traffic; values are O(1)).
     """
     BW, n, G, hd = q.shape
-    P = _ROWS // n
     mask_bank, gg, mm, pattern_id, pad = _tile_structure(
         BW, G, n, None if mask is None else np.asarray(mask))
     bases = _build_bases(bias, mask_bank, gg, mm, n)      # [n_pat, R, R]
     base = jnp.take(bases, jnp.asarray(pattern_id), axis=0)
 
-    def fold(t):
-        t = jnp.moveaxis(t, 2, 1).reshape(BW * G, n, hd)
-        if pad:
-            t = jnp.concatenate(
-                [t, jnp.zeros((pad, n, hd), t.dtype)], axis=0)
-        return jnp.moveaxis(t.reshape(-1, P * n, hd), 1, 2)
-
-    qp, kp, vp = fold(q), fold(k), fold(v)                # [tiles, hd, R]
+    qp, kp, vp = (_to_pairs(t, BW, n, G, hd, pad, None)   # [tiles, hd, R]
+                  for t in (q, k, v))
     s = jnp.einsum("bdr,bdc->brc", qp * scale, kp,
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s + base, axis=-1).astype(v.dtype)
     o = jnp.einsum("brc,bdc->bdr", p, vp,
                    preferred_element_type=jnp.float32).astype(v.dtype)
-    o = jnp.moveaxis(o, 1, 2).reshape(-1, n, hd)[:BW * G]
-    return jnp.moveaxis(o.reshape(BW, G, n, hd), 1, 2)
+    return _from_pairs(o, BW, n, G, hd, None)
 
 
 def _can_fuse(q, mask) -> bool:

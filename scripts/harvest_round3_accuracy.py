@@ -70,9 +70,10 @@ def harvest(enc):
         if lext or ldrv:
             ext += lext
             drv += ldrv
-            epoch_nums = _floats(re.compile(r"Epoch \((\d+)/", re.M), text)
-            if epoch_nums:
-                eps = max(eps, int(max(epoch_nums)))
+            # completed validation epochs = driver-F1 lines printed
+            # (incl. nan epochs); the 'Epoch (N/' header prints at epoch
+            # START and would over-count a run killed mid-epoch
+            eps = max(eps, len(DRIVER_RE.findall(text)))
             src.append("log, all resumed epochs")
     if not ext and not drv:
         return None
@@ -93,17 +94,30 @@ def main():
             print(f"{enc}: no results found", file=sys.stderr)
             continue
         ext, drv, eps, batch, src = got
+        # never let a nan-only harvest clobber a previously recorded
+        # best: merge with the existing row's values (nan loses to any
+        # number)
+        filled_re = re.compile(
+            r"^\| %s \| (\d+) \| (\d+) \| \*\*([\d.nan]+)\*\* \| "
+            r"\*\*([\d.nan]+)\*\* \|$" % enc, re.M)
+        prev = filled_re.search(md)
+        if prev:
+            def _merge(new, old_str):
+                try:
+                    old = float(old_str)
+                except ValueError:
+                    return new
+                if old != old:
+                    return new
+                return old if new != new else max(new, old)
+            ext = _merge(ext, prev.group(3))
+            drv = _merge(drv, prev.group(4))
+            eps = max(eps, int(prev.group(2)))
         new_row = (f"| {enc} | {batch} | {eps} | "
                    f"**{ext:.3f}** | **{drv:.3f}** |")
         md, n = row_re.subn(new_row, md)
         fresh = bool(n)
-        if not n:
-            # idempotent re-harvest: update a previously-filled row
-            # (5 cells, bold numbers -- distinguishes the accuracy table
-            # from the other per-encoder tables); no duplicate note
-            filled_re = re.compile(
-                r"^\| %s \| \d+ \| \d+ \| \*\*[\d.]+\*\* \| "
-                r"\*\*[\d.nan]+\*\* \|$" % enc, re.M)
+        if not n and prev:
             md, n = filled_re.subn(new_row, md)
         if n:
             changed = True

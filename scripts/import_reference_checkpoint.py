@@ -56,8 +56,13 @@ def main():
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(args.out)
-    ocp.StandardCheckpointer().save(path, {"state": {"params": params}},
-                                    force=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"state": {"params": params}}, force=True)
+    # StandardCheckpointer writes asynchronously; without the barrier the
+    # CLI could exit before the checkpoint is finalized and background
+    # write errors would never surface (same reason train/checkpoint.py
+    # waits after every save)
+    ckptr.wait_until_finished()
     print(f"wrote orbax checkpoint: {path}")
     print("use it with:  --en_de_pretrained " + path)
 

@@ -26,6 +26,8 @@ run_acc Swin_3D 1
 run_acc Mamba 2
 
 python scripts/harvest_round3_accuracy.py >> "$LOG" 2>&1
-git add BASELINE.md >> "$LOG" 2>&1
-git commit -q -m "Accuracy table: full 15-epoch Swin/Mamba 200x200 numbers" >> "$LOG" 2>&1
+# pathspec-limited commit: never sweep unrelated staged work from a
+# concurrent session into the automated commit
+git commit -q -m "Accuracy table: full 15-epoch Swin/Mamba 200x200 numbers" \
+  -- BASELINE.md >> "$LOG" 2>&1
 echo "[queue4] done $(date)" >> "$LOG"
