@@ -484,13 +484,32 @@ def export_torch_state_dict(cfg, params) -> Dict[str, np.ndarray]:
     return sd
 
 
-def import_checkpoint_file(cfg, path: str) -> dict:
-    """Load a reference ``*.pth`` checkpoint file -> flax params."""
+def import_checkpoint_file(cfg, path: str, allow_pickle: bool = False) -> dict:
+    """Load a reference ``*.pth`` checkpoint file -> flax params.
+
+    Reference checkpoints (utils/utils_train.py:562-584) are plain tensor
+    dicts and load under ``weights_only=True``. Loading with
+    ``weights_only=False`` executes arbitrary pickle code from the file, so
+    that fallback is only taken for the specific "weights-only load failed"
+    error AND when the caller passed ``allow_pickle=True`` (the CLI flag
+    ``--allow_pickle``); every other exception (missing file, corrupt
+    archive) propagates unchanged.
+    """
+    import pickle
+
     import torch
 
     try:
         payload = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path}: not loadable with weights_only=True ({e}). "
+                "If you trust this file, re-run with allow_pickle=True "
+                "(--allow_pickle) to permit full unpickling, which can "
+                "execute code embedded in the checkpoint.") from e
+        print(f"[interop] WARNING: unpickling {path} with "
+              "weights_only=False (arbitrary code execution possible)")
         payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("model_state_dict", payload) \
         if isinstance(payload, dict) else payload

@@ -249,9 +249,18 @@ class GroupedLayerNorm3d(nn.Module):
         # dominate the train-step HBM peak at 200x200 -- fp32 copies here
         # cost 300 MB each and OOM the 16 GB chip at batch 2); moments
         # still accumulate in float32 on the MXU via preferred_element_type
-        # and the rsqrt runs in float32, so only the ~1e-3 bf16 rounding of
-        # already-normalized values remains. For float32 inputs (goldens,
-        # CPU tests) the math is bit-identical to an all-fp32 pass.
+        # and the rsqrt runs in float32. Residual bf16 error sources: the
+        # 1/C projection weights and the accumulated mean are rounded to
+        # bf16 BEFORE the d = x - mu subtraction (so inputs with large
+        # means lose absolute precision there, not just in the final
+        # normalized values) plus the ~1e-3 rounding of the normalized
+        # output; test_grouped_layernorm_bf16_matches_f32 bounds the
+        # combined error at 2e-2 for the activation scales seen in
+        # training. Keeping mu f32 for the subtraction would force an
+        # f32 [.., V*C] copy of d (two consumers -- the var matmul and
+        # the y multiply -- defeat fusion), which is the OOM this path
+        # exists to avoid. For float32 inputs (goldens, CPU tests) the
+        # math is bit-identical to an all-fp32 pass.
         proj = jnp.kron(jnp.eye(V, dtype=x.dtype),
                         jnp.full((C, C), 1.0 / C, x.dtype))
         mu = jnp.matmul(x, proj,

@@ -106,13 +106,21 @@ def main():
                 try:
                     old = float(old_str)
                 except ValueError:
-                    return new
+                    return new, True
                 if old != old:
-                    return new
-                return old if new != new else max(new, old)
-            ext = _merge(ext, prev.group(3))
-            drv = _merge(drv, prev.group(4))
+                    return new, True
+                if new != new or old >= new:
+                    return old, False
+                return new, True
+            ext, ext_new = _merge(ext, prev.group(3))
+            drv, _ = _merge(drv, prev.group(4))
             eps = max(eps, int(prev.group(2)))
+            # the batch column labels the run that produced the headline
+            # (extremes) F1 — if the previous row's best survived the
+            # merge, keep the batch it was measured under instead of
+            # relabeling it with the latest run's batch size
+            if not ext_new:
+                batch = int(prev.group(1))
         new_row = (f"| {enc} | {batch} | {eps} | "
                    f"**{ext:.3f}** | **{drv:.3f}** |")
         md, n = row_re.subn(new_row, md)

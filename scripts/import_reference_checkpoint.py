@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--config_pkl", default=None,
                     help="config.pkl/.json snapshot to take the model "
                     "configuration from (CLI flags still override)")
+    ap.add_argument("--allow_pickle", action="store_true",
+                    help="permit full unpickling if weights_only=True "
+                    "fails (executes code embedded in the checkpoint — "
+                    "only for files you trust)")
     args, rest = ap.parse_known_args()
 
     from idee_tpu.config import Config, load_config, read_arguments
@@ -49,7 +53,8 @@ def main():
 
     from idee_tpu.models.interop import import_checkpoint_file
 
-    params = import_checkpoint_file(cfg, args.checkpoint)
+    params = import_checkpoint_file(cfg, args.checkpoint,
+                                    allow_pickle=args.allow_pickle)
     n = sum(v.size for v in __import__("jax").tree.leaves(params))
     print(f"imported {n} parameters ({cfg.encoder} / {cfg.codebook})")
 

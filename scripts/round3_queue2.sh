@@ -37,8 +37,10 @@ else
   echo "[queue2] skip Swin retry: only ${LEFT_MIN}m left" >> "$LOG"
 fi
 python scripts/harvest_round3_accuracy.py >> "$LOG" 2>&1
-git add BASELINE.md >> "$LOG" 2>&1
-git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" >> "$LOG" 2>&1
+# pathspec-limited commit: never sweep unrelated staged work from a
+# concurrent session into the automated commit
+git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" \
+  -- BASELINE.md >> "$LOG" 2>&1
 # Full-step A/B of the pair-folded pure-XLA attention (opt-in path) at
 # the bench geometry; ~10 min, chip is free by here. Results land in
 # /tmp/ab_*.json for the default-flip decision.

@@ -32,6 +32,8 @@ else
 fi
 
 python scripts/harvest_round3_accuracy.py >> "$LOG" 2>&1
-git add BASELINE.md >> "$LOG" 2>&1
-git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" >> "$LOG" 2>&1
+# pathspec-limited commit: never sweep unrelated staged work from a
+# concurrent session into the automated commit
+git commit -q -m "Record round-3 200x200 Swin/Mamba accuracy numbers" \
+  -- BASELINE.md >> "$LOG" 2>&1
 echo "[queue3] done $(date)" >> "$LOG"

@@ -196,6 +196,38 @@ class TestInteropGolden:
             np.testing.assert_array_equal(
                 np.asarray(leaf, dtype=np.float32), got[p], err_msg=str(p))
 
+    def test_pickle_checkpoint_requires_opt_in(self, tmp_path):
+        """A checkpoint that needs full unpickling (e.g. an argparse
+        Namespace inside, as some reference config.pkl bundles carry) is
+        refused unless allow_pickle=True — loading it would execute
+        arbitrary pickle code (ADVICE r3)."""
+        import argparse
+
+        import pytest
+        import torch
+
+        from idee_tpu.config import synthetic_config
+        from idee_tpu.models.interop import (export_checkpoint_file,
+                                             import_checkpoint_file)
+
+        V = 2
+        cfg = synthetic_config(
+            encoder="CNN_3D", in_channels_dynamic=V,
+            variables=[f"var_{i:02d}" for i in range(V)],
+            en_embed_dim=[8, 8], en_depths=[1, 1], codebook_dim=8,
+            cls_dim=8)
+        _, params = _flax_params(cfg)
+        path = str(tmp_path / "ref.pth")
+        export_checkpoint_file(cfg, params, path, epoch=1)
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+        payload["config"] = argparse.Namespace(name="x")  # defeats weights_only
+        torch.save(payload, path)
+
+        with pytest.raises(RuntimeError, match="allow_pickle"):
+            import_checkpoint_file(cfg, path)
+        back = import_checkpoint_file(cfg, path, allow_pickle=True)
+        assert back  # loads once explicitly allowed
+
     def test_module_prefix_and_strictness(self):
         """DataParallel 'module.' prefixes strip (build.py:123-124); a
         missing parameter fails loudly."""
