@@ -233,6 +233,17 @@ class Config:
     # LFQ.py:239-240, which kills the diversity gradient for |s| > ~0.02;
     # smaller values keep the anti-collapse force alive)
     codebook_inv_temperature: float = 100.0
+    # VQ codebook-variant knobs (reference VQ.py:736-772 constructor
+    # kwargs; its config never exposes them, so these are rebuild flags).
+    # Defaults mirror the reference wrapper: learnable codebook, no EMA.
+    # vq_ema_update=True selects the EMA codebook (learnable off), the
+    # variant with real cross-device state (EMA stats psum, VQ.py:534-539).
+    vq_ema_update: bool = False
+    vq_decay: float = 0.8
+    vq_kmeans_init: bool = False
+    vq_kmeans_iters: int = 10
+    vq_threshold_ema_dead_code: float = 0.0
+    vq_use_cosine_sim: bool = False
 
     # ------------------------------------------------------------------
 

@@ -131,6 +131,7 @@ def build_quantizer(cfg: Config, kernel_init=None):
             kernel_init=kernel_init,
         )
     if name == "VQ":
+        ema = getattr(cfg, "vq_ema_update", False)
         return cls(
             dim=cfg.codebook_dim,
             codebook_size=cfg.codebook_size,
@@ -138,6 +139,16 @@ def build_quantizer(cfg: Config, kernel_init=None):
             commitment_weight=cfg.lambda_commitment,
             orthogonal_reg_weight=cfg.lambda_ortho,
             sync_axis=cfg.codebook_sync_axis,
+            # EMA-variant knobs (reference VQ.py:736-772 kwargs; rebuild
+            # flags — the reference config never exposes them)
+            ema_update=ema,
+            learnable_codebook=not ema,
+            decay=getattr(cfg, "vq_decay", 0.8),
+            kmeans_init=getattr(cfg, "vq_kmeans_init", False),
+            kmeans_iters=getattr(cfg, "vq_kmeans_iters", 10),
+            threshold_ema_dead_code=getattr(
+                cfg, "vq_threshold_ema_dead_code", 0.0),
+            use_cosine_sim=getattr(cfg, "vq_use_cosine_sim", False),
         )
     if name == "FSQ":
         return cls(dim=cfg.codebook_dim, levels=(cfg.codebook_size,))
