@@ -272,6 +272,15 @@ def main():
         "value": sps,
         "unit": "steps/sec",
         "vs_baseline": round(sps / ref, 3) if ref else None,
+        "samples_per_sec": round(sps * int(batch), 3),
+        # keep the anchor's nature in-band (VERDICT r3 #10): the ratio is
+        # this TPU chip vs the reference torch implementation on ONE CPU
+        # core of this host -- the reference publishes no GPU numbers
+        "caveat": "vs_baseline is a cross-hardware anchor (TPU v5e chip "
+                  "vs reference torch on 1 host CPU core, "
+                  "scripts/bench_reference_torch.py) -- not a same-silicon "
+                  "speedup and not an A100 comparison; BASELINE.md carries "
+                  "the same-silicon CPU-vs-CPU row and the full table",
         "extra": extra,
     }))
 

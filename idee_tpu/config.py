@@ -233,6 +233,16 @@ class Config:
     # LFQ.py:239-240, which kills the diversity gradient for |s| > ~0.02;
     # smaller values keep the anti-collapse force alive)
     codebook_inv_temperature: float = 100.0
+    # BCE class-weighting variant (opt-in deviation; "reference" = the
+    # exact log((hist/total)^-0.5 + 1.1) formula, models/losses.py:115-118).
+    # At the native 200x200 event density (0.88% positives) the reference
+    # weighting yields only w_pos/w_neg ~ 3.3 and training pins at zero
+    # predicted extremes (BASELINE.md "Positive-rate finding"); "capped"
+    # (min(1/frac, bce_weight_cap)) and "focal" (alpha-balanced focal BCE,
+    # gamma=bce_focal_gamma) keep the positive gradient mass alive there.
+    bce_weighting: str = "reference"
+    bce_weight_cap: float = 100.0
+    bce_focal_gamma: float = 2.0
     # VQ codebook-variant knobs (reference VQ.py:736-772 constructor
     # kwargs; its config never exposes them, so these are rebuild flags).
     # Defaults mirror the reference wrapper: learnable codebook, no EMA.

@@ -35,16 +35,51 @@ def _inv_freq_weights(hist):
     return jnp.where(frac > 0, w, 0.0)
 
 
-def bce_loss_synthetic(pred, target):
+def _capped_inv_freq_weights(hist, cap):
+    """True inverse-frequency class weights min(1/frac, cap), zero-count
+    classes weight 0. Opt-in deviation (cfg.bce_weighting="capped") for
+    extreme class imbalance: at the reference's native 200x200 event
+    density (0.88%% positives) the reference formula
+    (models/losses.py:115-118) yields only w_pos/w_neg ~ 3.3 and training
+    pins at zero predicted extremes (BASELINE.md "Positive-rate finding");
+    1/frac capped at `cap` keeps the positive gradient mass O(negative's).
+    """
+    total = jnp.sum(hist)
+    frac = hist / jnp.maximum(total, 1.0)
+    w = jnp.minimum(1.0 / jnp.where(frac > 0, frac, 1.0), cap)
+    return jnp.where(frac > 0, w, 0.0)
+
+
+def bce_loss_synthetic(pred, target, weighting: str = "reference",
+                       weight_cap: float = 100.0,
+                       focal_gamma: float = 2.0):
     """Frequency-weighted BCE, mean-reduced (reference: models/losses.py:98-124).
 
     pred: logits [N, C, H, W]; target: {0,1} [N, C, H, W].
+
+    weighting (opt-in deviations for the native event density, documented
+    in BASELINE.md):
+      "reference" -- log((hist/total)^-0.5 + 1.1), the reference formula;
+      "capped"    -- min(1/frac, weight_cap) true inverse frequency;
+      "focal"     -- focal BCE (Lin et al. 2017): alpha-balanced by
+                     capped inverse frequency, modulated by (1-p_t)^gamma.
     """
     target = target.astype(jnp.float32)
     hist = jnp.array([jnp.sum(target == 0), jnp.sum(target == 1)],
                      dtype=jnp.float32)
-    w = jax.lax.stop_gradient(_inv_freq_weights(hist))
+    if weighting == "capped":
+        w = jax.lax.stop_gradient(_capped_inv_freq_weights(hist, weight_cap))
+    elif weighting == "focal":
+        w = jax.lax.stop_gradient(_capped_inv_freq_weights(hist, weight_cap))
+    else:
+        w = jax.lax.stop_gradient(_inv_freq_weights(hist))
     weights = w[target.astype(jnp.int32)]
+    if weighting == "focal":
+        # the modulating factor carries gradient, as in the paper's eq. 5
+        # and torchvision's sigmoid_focal_loss
+        p = jax.nn.sigmoid(pred)
+        p_t = p * target + (1.0 - p) * (1.0 - target)
+        weights = weights * (1.0 - p_t) ** focal_gamma
     return jnp.mean(bce_with_logits(pred, target) * weights)
 
 
@@ -150,15 +185,21 @@ def _anomaly_l1_lfq_bwd(res, g):
 anomaly_l1_lfq.defvjp(_anomaly_l1_lfq_fwd, _anomaly_l1_lfq_bwd)
 
 
-def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly):
+def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly,
+                         weighting: str = "reference",
+                         weight_cap: float = 100.0,
+                         focal_gamma: float = 2.0):
     """Training objective (reference: train_synthetic.py:182-201):
     BCE(joint) + lambda_anomaly * anomaly_L1 + sum_v BCE(head_v) + loss_z_q.
 
     out: VQOutput; mask_extreme [N,H,W]; mask_extreme_loss [N,H,W].
+    weighting/weight_cap/focal_gamma: see bce_loss_synthetic (opt-in
+    class-imbalance variants; "reference" = exact parity).
     Returns (loss, dict of components).
     """
     target = mask_extreme.astype(jnp.float32)[:, None]  # [N,1,H,W]
-    loss_bce = bce_loss_synthetic(out.z, target)
+    loss_bce = bce_loss_synthetic(out.z, target, weighting, weight_cap,
+                                  focal_gamma)
     if getattr(out, "loss_anomaly", None) is not None:
         # fused in-model path (anomaly_l1_lfq); z_q is then dead in the
         # train step and XLA never materializes it
@@ -169,7 +210,9 @@ def total_loss_synthetic(out, mask_extreme, mask_extreme_loss, lambda_anomaly):
     # per-variable heads: out.y is [N, V, 1, H, W]
     V = out.y.shape[1]
     loss_var = jnp.sum(
-        jax.vmap(lambda yv: bce_loss_synthetic(yv, target), in_axes=1)(out.y)
+        jax.vmap(lambda yv: bce_loss_synthetic(yv, target, weighting,
+                                               weight_cap, focal_gamma),
+                 in_axes=1)(out.y)
     )
     loss = loss_bce + lambda_anomaly * loss_anom + loss_var + out.loss_z_q
     return loss, {

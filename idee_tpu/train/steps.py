@@ -28,6 +28,16 @@ from idee_tpu import losses
 from idee_tpu.config import Config
 
 
+def _bce_kwargs(cfg: Config) -> Dict[str, Any]:
+    """BCE weighting-variant kwargs from cfg (getattr: configs pickled
+    before the fields existed load without them)."""
+    return {
+        "weighting": getattr(cfg, "bce_weighting", "reference"),
+        "weight_cap": getattr(cfg, "bce_weight_cap", 100.0),
+        "focal_gamma": getattr(cfg, "bce_focal_gamma", 2.0),
+    }
+
+
 def extreme_counts(pred_c, gt) -> Dict[str, jnp.ndarray]:
     """Streaming counters for evaluator_synthetic
     (reference: utils/utils_train.py:339-347). pred_c/gt: [N, 1, H, W]."""
@@ -142,7 +152,7 @@ def _train_step_body(model, cfg: Config, t0: float = 0.0,
                     (state.step - warm) / ramp, 0.0, 1.0)
             loss, comps = losses.total_loss_synthetic(
                 out, batch["mask_extreme"], batch["mask_extreme_loss"],
-                lam,
+                lam, **_bce_kwargs(cfg),
             )
             return loss, (out, comps, updated)
 
@@ -246,7 +256,7 @@ def make_eval_step(model, cfg: Config, t0: float = 0.0,
                           mask_extreme_loss=batch["mask_extreme_loss"])
         loss, comps = losses.total_loss_synthetic(
             out, batch["mask_extreme"], batch["mask_extreme_loss"],
-            cfg.lambda_anomaly,
+            cfg.lambda_anomaly, **_bce_kwargs(cfg),
         )
         metrics, pred, pred_c = _accumulate(metrics, comps, out, batch, t0,
                                             cfg.delta_t)
@@ -271,7 +281,7 @@ def make_eval_epoch(model, cfg: Config, loader, t0: float = 0.0):
                           mask_extreme_loss=batch["mask_extreme_loss"])
         loss, comps = losses.total_loss_synthetic(
             out, batch["mask_extreme"], batch["mask_extreme_loss"],
-            cfg.lambda_anomaly,
+            cfg.lambda_anomaly, **_bce_kwargs(cfg),
         )
         metrics, _, _ = _accumulate(metrics, comps, out, batch, t0,
                                     cfg.delta_t)

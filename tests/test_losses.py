@@ -33,6 +33,48 @@ def test_bce_synthetic_weighting():
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_bce_synthetic_capped_weighting():
+    # 3 zeros, 1 one -> frac=[.75,.25]; w = min(1/frac, cap)
+    pred = jnp.zeros((1, 1, 2, 2))
+    target = jnp.array([[[[0.0, 0.0], [0.0, 1.0]]]])
+    per_px = np.log(2.0)
+    expected = per_px * (3 * (4 / 3) + 1 * 4.0) / 4
+    got = float(losses.bce_loss_synthetic(pred, target, weighting="capped"))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+    # the cap binds: with cap=2 the positive weight clips to 2
+    expected_cap = per_px * (3 * (4 / 3) + 1 * 2.0) / 4
+    got_cap = float(losses.bce_loss_synthetic(pred, target,
+                                              weighting="capped",
+                                              weight_cap=2.0))
+    np.testing.assert_allclose(got_cap, expected_cap, rtol=1e-4)
+
+
+def test_bce_synthetic_focal():
+    # focal(gamma) = alpha_t * (1-p_t)^gamma * bce; at 0 logits p_t = 0.5
+    pred = jnp.zeros((1, 1, 2, 2))
+    target = jnp.array([[[[0.0, 0.0], [0.0, 1.0]]]])
+    per_px = np.log(2.0)
+    mod = 0.5 ** 2.0
+    expected = per_px * mod * (3 * (4 / 3) + 1 * 4.0) / 4
+    got = float(losses.bce_loss_synthetic(pred, target, weighting="focal"))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+    # gamma=0 focal == capped (modulating factor -> 1)
+    got0 = float(losses.bce_loss_synthetic(pred, target, weighting="focal",
+                                           focal_gamma=0.0))
+    capped = float(losses.bce_loss_synthetic(pred, target,
+                                             weighting="capped"))
+    np.testing.assert_allclose(got0, capped, rtol=1e-5)
+
+
+def test_bce_synthetic_variants_single_class_no_nan():
+    pred = jnp.zeros((1, 1, 2, 2))
+    target = jnp.zeros((1, 1, 2, 2))
+    for weighting in ("capped", "focal"):
+        got = float(losses.bce_loss_synthetic(pred, target,
+                                              weighting=weighting))
+        assert np.isfinite(got)
+
+
 def test_bce_synthetic_single_class_no_nan():
     pred = jnp.zeros((1, 1, 2, 2))
     target = jnp.zeros((1, 1, 2, 2))
