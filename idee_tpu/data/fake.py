@@ -332,6 +332,245 @@ def write_fake_netcdf(root: str, cube: SyntheticCube) -> None:
             f[v] = np.stack([cube.clima_median[i], cube.clima_std[i]])
 
 
+def write_structured_reanalysis(
+    root_main: str,
+    root_noaa: str,
+    variables: Optional[List[str]] = None,
+    years=("1989", "1990", "1991", "1992"),
+    height: int = 512,
+    width: int = 832,
+    era5_region: Optional[str] = None,
+    seed: int = 0,
+    events_per_year: float = 12.0,
+    distractors_per_year: float = 12.0,
+    mag_lo: float = 2.0,
+    mag_hi: float = 3.5,
+    vhi_event_drop: float = 45.0,
+    write_climatology: bool = False,
+) -> dict:
+    """Learnable CERRA/ERA5-Land-shaped fixture at real-world geometry.
+
+    write_fake_reanalysis writes *random* VCI/TCI, so its drought labels are
+    noise -- fine for plumbing tests, useless for training. This generator
+    mirrors make_benchmark_cube's causal structure in the reanalysis file
+    schema (reference: dataset/CERRA_dataset.py:525-551 weekly files,
+    :452-518 VHI label engine), so the real-world drivers
+    (train/driver_real.py) can be trained to a meaningful drought-F1 at the
+    reference's published geometry (CERRA Europe 512x832 crop,
+    dataset/CERRA_dataset.py:100-101; the ~1.1 TB real archive is not
+    downloadable in this environment -- BASELINE.md risk note):
+
+    * per-variable weekly `mean` channel: seasonal cycle with smooth
+      amplitude/phase fields + AR(1) spatially-correlated noise; `std`
+      channel: smooth positive base + weekly noise;
+    * droughts: spatio-temporal ellipsoids where VHI (written as VCI = TCI
+      so any alpha yields the same VHI) drops below the 26/35 thresholds
+      for the event duration, while a random MAJORITY of the variables turn
+      anomalous (+-2-3.5 sigma on the mean channel), each LEADING the
+      drought by 0-3 weeks -- drivers precede extremes within delta_t=8;
+    * single-variable distractor anomalies with NO VHI response;
+    * cold-surface masks concentrated in winter weeks, static water and
+      no-vegetation masks from thresholded smooth fields (the label engine
+      excludes all three, CERRA_dataset.py:478-518).
+
+    Returns a summary dict (drought rate, event count) for documentation.
+    """
+    import json
+
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    variables = sorted(variables or
+                       ["al", "hcc", "lcc", "msl", "si10", "wdir10"])
+    V = len(variables)
+    years = [str(y) for y in years]
+    n_time = 52 * len(years)
+    need = max(2, V // 2)
+
+    if era5_region:
+        root_main = os.path.join(root_main, era5_region)
+        root_noaa = os.path.join(root_noaa, era5_region)
+        prefix = era5_region + "_"
+        masks_name = era5_region + "_masks.nc"
+    else:
+        prefix = "CERRA_"
+        masks_name = "masks.nc"
+    os.makedirs(root_main, exist_ok=True)
+    os.makedirs(root_noaa, exist_ok=True)
+
+    week_of_year = (np.arange(n_time) % 52).astype(np.float32)
+
+    # --- dynamic variables: seasonal + AR(1) noise (mean channel) ---
+    mean_ch = np.empty((V, n_time, height, width), np.float32)
+    for v in range(V):
+        amp = 0.5 + 0.5 * np.abs(_smooth_field(rng, height, width, 60))
+        phase = 0.8 * _smooth_field(rng, height, width, 60)
+        mean_ch[v] = amp[None] * np.sin(
+            2 * np.pi * week_of_year[:, None, None] / 52.0 + phase[None])
+    rho, sigma = 0.65, 0.55
+    state = np.zeros((V, height, width), np.float32)
+    scale = sigma * np.sqrt(1.0 - rho * rho)
+    for t in range(n_time):
+        innov = np.stack([_smooth_field(rng, height, width, 12)
+                          for _ in range(V)])
+        state = rho * state + scale * innov
+        mean_ch[:, t] += state
+
+    # --- std channel: smooth positive base + weekly noise ---
+    std_base = np.stack([0.8 + 0.4 * np.abs(_smooth_field(rng, height,
+                                                          width, 40))
+                         for _ in range(V)])  # [V, H, W]
+
+    # --- VHI: smooth base ~55 + seasonal dip + AR(1) noise ---
+    vhi_base = 55.0 + 8.0 * _smooth_field(rng, height, width, 80)
+    vhi = np.empty((n_time, height, width), np.float32)
+    vstate = np.zeros((height, width), np.float32)
+    for t in range(n_time):
+        vstate = 0.7 * vstate + 5.0 * np.sqrt(1 - 0.49) * _smooth_field(
+            rng, height, width, 30)
+        vhi[t] = (vhi_base + vstate
+                  + 4.0 * np.sin(2 * np.pi * week_of_year[t] / 52.0))
+
+    # --- plant droughts (events) and distractors ---
+    yy = np.arange(height, dtype=np.float32)
+    xx = np.arange(width, dtype=np.float32)
+
+    def ellipse(cy, cx, ry, rx, theta):
+        dy = yy[:, None] - cy
+        dx = xx[None, :] - cx
+        c, s = np.cos(theta), np.sin(theta)
+        u = (c * dx + s * dy) / rx
+        w_ = (-s * dx + c * dy) / ry
+        return u * u + w_ * w_
+
+    r_lo = max(6.0, 0.06 * min(height, width))
+    r_hi = max(12.0, 0.2 * min(height, width))
+
+    def plant(vars_hit, t0, dur, is_event):
+        r2 = ellipse(float(rng.uniform(0.1 * height, 0.9 * height)),
+                     float(rng.uniform(0.1 * width, 0.9 * width)),
+                     float(rng.uniform(r_lo, r_hi)),
+                     float(rng.uniform(r_lo, r_hi)),
+                     float(rng.uniform(0, np.pi)))
+        halo = r2 <= 1.69
+        if not halo.any():
+            return
+        shape = np.clip(1.0 - 0.3 * r2, 0.0, None) * halo
+        hi = min(n_time, t0 + dur)
+        for v in vars_hit:
+            mag = float(rng.uniform(mag_lo, mag_hi)) * (
+                1 if rng.random() < 0.5 else -1)
+            lead = int(rng.integers(0, 4)) if is_event else 0
+            lo = max(0, t0 - lead)
+            if hi <= lo:
+                continue
+            mean_ch[v, lo:hi] += mag * shape[None]
+        if is_event and hi > t0:
+            vhi[t0:hi] -= vhi_event_drop * np.clip(
+                1.0 - 0.5 * r2, 0.0, None) * halo
+
+    n_events = int(events_per_year * n_time / 52.0)
+    for _ in range(n_events):
+        m = int(rng.integers(need, V + 1))
+        plant(rng.choice(V, size=m, replace=False),
+              t0=int(rng.integers(4, n_time - 2)),
+              dur=int(rng.integers(3, 11)), is_event=True)
+    for _ in range(int(distractors_per_year * n_time / 52.0)):
+        plant([int(rng.integers(V))], t0=int(rng.integers(0, n_time - 2)),
+              dur=int(rng.integers(3, 11)), is_event=False)
+    vhi = np.clip(vhi, 2.0, 98.0)
+
+    # --- masks: water / no-vegetation static, cold seasonal ---
+    water = (_smooth_field(rng, height, width, 100) > 0.9).astype(np.float32)
+    noveg = ((_smooth_field(rng, height, width, 70) > 1.3)
+             & (water == 0)).astype(np.float32)
+    cold_field = _smooth_field(rng, height, width, 60)
+
+    # --- write weekly files ---
+    for yi, year in enumerate(years):
+        os.makedirs(os.path.join(root_main, year), exist_ok=True)
+        os.makedirs(os.path.join(root_noaa, year), exist_ok=True)
+        for week in range(1, 53):
+            t = yi * 52 + week - 1
+            wnr = ("0" + str(week)) if week > 9 else ("00" + str(week))
+            with h5py.File(os.path.join(root_main, year,
+                                        f"{year}{wnr}.nc"), "w") as f:
+                f["statistic"] = np.array([b"mean", b"std"])
+                stds = (std_base
+                        + rng.normal(0, 0.1, (V, height, width))).astype(
+                            np.float32)
+                for v, name in enumerate(variables):
+                    f.create_dataset(
+                        name, data=np.stack([mean_ch[v, t], stds[v]]))
+            # winter weeks get a cold band; rare cold elsewhere
+            is_winter = week >= 45 or week <= 8
+            thr_c = 1.2 if is_winter else 2.6
+            cold = ((cold_field + 0.3 * rng.standard_normal()) > thr_c
+                    ).astype(np.float32)
+            with h5py.File(os.path.join(root_noaa, year,
+                                        f"{year}{wnr}_00.nc"), "w") as f:
+                f["VCI"] = vhi[t]  # VCI == TCI -> VHI == vhi for any alpha
+                f["TCI"] = vhi[t]
+                f["mask_cold_surface"] = cold
+
+    # --- global statistics (mean channel; the std channel is scaled by
+    # the same per-variable std, CERRA_dataset.py:618-620) ---
+    stats = {
+        "min": {v: float(mean_ch[i].min()) for i, v in enumerate(variables)},
+        "max": {v: float(mean_ch[i].max()) for i, v in enumerate(variables)},
+        "mean": {v: float(mean_ch[i].mean()) for i, v in enumerate(variables)},
+        "std": {v: float(mean_ch[i].std()) for i, v in enumerate(variables)},
+    }
+    with open(os.path.join(root_main, prefix + "statistic_train.json"),
+              "w") as fh:
+        json.dump(stats, fh)
+
+    if write_climatology:
+        wk = np.arange(n_time) % 52
+        with h5py.File(os.path.join(
+                root_main, prefix + "climatology_pixels_train.nc"),
+                "w") as f:
+            f["climatology"] = np.array([b"mean", b"std"])
+            f["week"] = np.arange(1, 53, dtype=np.float64)
+            for v, name in enumerate(variables):
+                cm = np.stack([mean_ch[v, wk == w].mean(0)
+                               for w in range(52)])
+                cs = np.stack([mean_ch[v, wk == w].std(0) + 1e-2
+                               for w in range(52)])
+                # [climatology, statistic(mean,std-ch), week, y, x]; the
+                # std channel's climatology reuses the mean channel's
+                # moments (fixture simplification)
+                f[name] = np.stack([np.stack([cm, cm]),
+                                    np.stack([cs, cs])]).astype(np.float32)
+
+    with h5py.File(os.path.join(root_noaa, masks_name), "w") as f:
+        f["mask_no_vegetation"] = noveg
+        if era5_region:
+            f["lsm"] = 1.0 - water  # land fraction
+    if not era5_region:
+        with h5py.File(os.path.join(root_main, "CERRA_static_variables.nc"),
+                       "w") as f:
+            f["lsm"] = 1.0 - water
+            f["orog"] = _smooth_field(rng, height, width, 50)
+            f["latitude"] = np.tile(np.linspace(30, 70, height)[:, None],
+                                    (1, width)).astype(np.float32)
+            f["longitude"] = np.tile(np.linspace(-10, 40, width)[None],
+                                     (height, 1)).astype(np.float32)
+
+    valid = np.clip(1.0 - water - noveg, 0.0, 1.0)
+    drought = (vhi < 26.0) & (valid[None] > 0)
+    return {
+        "n_events": n_events,
+        "drought_rate_valid": float(drought.sum()
+                                    / max(valid.sum() * n_time, 1.0)),
+        "water_frac": float(water.mean()),
+        "noveg_frac": float(noveg.mean()),
+        "variables": variables,
+        "years": years,
+        "height": height, "width": width,
+    }
+
+
 def write_fake_reanalysis(root_main: str, root_noaa: str,
                           variables: Optional[List[str]] = None,
                           years=("1990", "1991"), height: int = 16,

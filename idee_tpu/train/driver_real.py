@@ -91,14 +91,28 @@ def train_real(cfg: Config, family: str, mesh=None,
     # the epoch-end TensorBoard panels consume (train_CERRA.py:285-291)
     keys_val = keys + ["mask_sea", "mask_no_vegetation"]
     cast = {"x": jnp.bfloat16} if cfg.dtype == "bfloat16" else None
-    train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed,
-                              sharding=sharding, keys=keys, cast=cast,
-                              workers=cfg.loader_workers)
-    val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
-                            drop_last=True, seed=cfg.seed, sharding=sharding,
-                            keys=keys_val, cast=cast,
-                            workers=cfg.loader_workers)
+    if cfg.device_data:
+        # per-week slabs live on the chip; per-step host traffic = a [B]
+        # index vector (see data/device.py RealDeviceLoader -- at the CERRA
+        # 512x832 geometry the host path uploads ~82 MB/step)
+        from idee_tpu.data.device import RealDeviceLoader
+
+        x_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        train_loader = RealDeviceLoader(train_ds, cfg.batch_size,
+                                        shuffle=True, drop_last=True,
+                                        seed=cfg.seed, dtype=x_dtype)
+        val_loader = RealDeviceLoader(val_ds, cfg.batch_size, shuffle=True,
+                                      drop_last=True, seed=cfg.seed,
+                                      dtype=x_dtype, with_eval_masks=True)
+    else:
+        train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                                  drop_last=True, seed=cfg.seed,
+                                  sharding=sharding, keys=keys, cast=cast,
+                                  workers=cfg.loader_workers)
+        val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=True,
+                                drop_last=True, seed=cfg.seed,
+                                sharding=sharding, keys=keys_val, cast=cast,
+                                workers=cfg.loader_workers)
 
     log_string(logger, "\nloading the model ...")
     model = build_model(cfg)
@@ -121,6 +135,17 @@ def train_real(cfg: Config, family: str, mesh=None,
         start_epoch = int(restored["meta"]["epoch"]) + 1
         log_string(logger, f"auto-resumed from epoch {start_epoch}")
 
+    # fused epochs (device-resident data only): one jitted lax.scan per
+    # fused_chunk steps -- see train/driver.py for the dispatch-cost
+    # rationale; per-step mode remains for profiling and as the opt-out
+    use_fused = (cfg.device_data and getattr(cfg, "fused_epoch", True)
+                 and not cfg.profile_dir)
+    if use_fused:
+        from idee_tpu.train.steps_real import (make_eval_epoch_real,
+                                               make_train_epoch_real)
+
+        train_epoch = make_train_epoch_real(model, cfg, train_loader)
+        eval_epoch = make_eval_epoch_real(model, cfg, val_loader)
     train_step = make_train_step_real(model, cfg)
     eval_step = make_eval_step_real(model, cfg)
     eval_step_preds = make_eval_step_real(model, cfg, return_preds=True)
@@ -139,10 +164,27 @@ def train_real(cfg: Config, family: str, mesh=None,
         timer = StepTimer()
 
         metrics = init_epoch_metrics_real()
-        for batch in train_loader:
-            state, metrics = train_step(state, metrics, batch)
-            timer.tick()
-        m = jax.device_get(metrics)
+        if use_fused:
+            import time as _time
+
+            from idee_tpu.train.steps import epoch_chunks
+
+            arrays = train_loader.arrays
+            order, ep = train_loader.epoch_order()
+            t_ep = _time.perf_counter()
+            for sl, start in epoch_chunks(order.shape[0],
+                                          getattr(cfg, "fused_chunk", 16)):
+                state, metrics = train_epoch(state, metrics, arrays,
+                                             order[sl], np.int32(ep),
+                                             np.int32(start))
+            m = jax.device_get(metrics)  # the only reliable barrier here
+            sps = order.shape[0] / (_time.perf_counter() - t_ep)
+        else:
+            for batch in train_loader:
+                state, metrics = train_step(state, metrics, batch)
+                timer.tick()
+            m = jax.device_get(metrics)
+            sps = timer.steps_per_sec
         eval_train.update_counts(m["counts"])
         mean_loss_train = (float(m["loss_sums"]["loss"])
                            / max(int(m["n_steps"]), 1))
@@ -151,9 +193,23 @@ def train_real(cfg: Config, family: str, mesh=None,
 
         metrics = init_epoch_metrics_real()
         last_batch = None
-        for batch in val_loader:
-            metrics = eval_step(model_variables(state), metrics, batch)
-            last_batch = batch
+        if use_fused:
+            from idee_tpu.train.steps import epoch_chunks
+
+            arrays = val_loader.arrays
+            order, ep = val_loader.epoch_order()
+            for sl, start in epoch_chunks(order.shape[0],
+                                          getattr(cfg, "fused_chunk", 16)):
+                metrics = eval_epoch(model_variables(state), metrics,
+                                     arrays, order[sl], np.int32(ep),
+                                     np.int32(start))
+            # one extra fetch for the TensorBoard image panels below
+            last_batch = val_loader._fetch(
+                order[-1], jax.random.fold_in(val_loader._key, ep))
+        else:
+            for batch in val_loader:
+                metrics = eval_step(model_variables(state), metrics, batch)
+                last_batch = batch
         m = jax.device_get(metrics)
         eval_val.update_counts(m["counts"])
         mean_loss_val = (float(m["loss_sums"]["loss"])
@@ -215,8 +271,8 @@ def train_real(cfg: Config, family: str, mesh=None,
         history["val_loss"].append(mean_loss_val)
         history["train_f1"].append(float(eval_train.F1[1]))
         history["val_f1"].append(f1_val)
-        history["steps_per_sec"].append(timer.steps_per_sec)
-        log_string(logger, "steps/sec: %.3f" % timer.steps_per_sec)
+        history["steps_per_sec"].append(sps)
+        log_string(logger, "steps/sec: %.3f" % sps)
 
         eval_train.reset()
         eval_val.reset()

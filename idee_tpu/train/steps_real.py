@@ -96,7 +96,10 @@ def _accumulate_real(metrics, comps, out, batch, mask_valid,
     return metrics, pred, pred_c
 
 
-def make_train_step_real(model, cfg: Config, donate: bool = True):
+def _train_step_body_real(model, cfg: Config):
+    """Unjitted step(state, metrics, batch) -> (state, metrics); jitted
+    per-step by make_train_step_real, scanned by make_train_epoch_real."""
+
     def step(state, metrics, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         d_rng, p_rng, c_rng = jax.random.split(rng, 3)
@@ -128,7 +131,64 @@ def make_train_step_real(model, cfg: Config, donate: bool = True):
                                          mask_valid)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step_real(model, cfg: Config, donate: bool = True):
+    step = _train_step_body_real(model, cfg)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_train_epoch_real(model, cfg: Config, loader):
+    """Fused real-world epoch: ONE jitted lax.scan over the epoch's batches
+    with the device-resident batch assembly (data/device.py
+    RealDeviceLoader) inlined into the scan body -- the real-pipeline
+    analogue of steps.py::make_train_epoch (same chunked-dispatch `start`
+    contract, see that docstring for the axon-watchdog rationale).
+
+    epoch_fn(state, metrics, arrays, order, epoch, start) -> (state,
+    metrics); arrays is loader.arrays (a dict pytree of device arrays)."""
+    step = _train_step_body_real(model, cfg)
+
+    def epoch_fn(state, metrics, arrays, order, epoch, start):
+        def body(carry, inp):
+            b, idx = inp
+            batch = loader.traced_batch(arrays, idx, epoch, b)
+            return step(*carry, batch), None
+
+        nb = order.shape[0]
+        carry, _ = jax.lax.scan(body, (state, metrics),
+                                (jnp.arange(nb) + start, order))
+        return carry
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+
+def make_eval_epoch_real(model, cfg: Config, loader):
+    """Fused real-world validation epoch (see make_train_epoch_real)."""
+
+    def one(variables, metrics, batch):
+        out = model.apply(variables, batch["x"], train=False,
+                          mask_extreme_loss=batch["mask_extreme_loss"],
+                          mask_exclude=batch["mask_cold_surface_loss"])
+        loss, comps, mask_valid = total_loss_real(out, batch,
+                                                  cfg.lambda_anomaly)
+        metrics, _, _ = _accumulate_real(metrics, comps, out, batch,
+                                         mask_valid)
+        return metrics
+
+    def epoch_fn(variables, metrics, arrays, order, epoch, start):
+        def body(metrics, inp):
+            b, idx = inp
+            batch = loader.traced_batch(arrays, idx, epoch, b)
+            return one(variables, metrics, batch), None
+
+        nb = order.shape[0]
+        metrics, _ = jax.lax.scan(body, metrics,
+                                  (jnp.arange(nb) + start, order))
+        return metrics
+
+    return jax.jit(epoch_fn, donate_argnums=(1,))
 
 
 def make_eval_step_real(model, cfg: Config, test_mode: bool = False,

@@ -200,6 +200,124 @@ def test_real_train_step(cerra_tree, tiny_config):
     assert int(m["counts"]["seen"].sum()) == int(m["counts"]["seen_all"])
 
 
+def test_real_device_loader_matches_host(cerra_tree):
+    """RealDeviceLoader's on-device window assembly must reproduce the host
+    DataLoader batches exactly (aug off; shuffle off for aligned order)."""
+    import jax
+
+    from idee_tpu.data.device import RealDeviceLoader
+    from idee_tpu.data.loader import DataLoader
+
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa, is_norm=True, is_clima_scale=False, delta_t=8)
+    host = DataLoader(ds, 2, shuffle=False, drop_last=True, seed=0)
+    dev = RealDeviceLoader(ds, 2, shuffle=False, drop_last=True, seed=0,
+                           with_eval_masks=True)
+    assert len(host) == len(dev)
+    for i, (hb, db) in enumerate(zip(host, dev)):
+        db = jax.device_get(db)
+        for k in ("x", "mask_extreme", "mask_extreme_loss",
+                  "mask_cold_surface", "mask_cold_surface_loss",
+                  "mask_sea", "mask_no_vegetation"):
+            np.testing.assert_allclose(
+                np.asarray(hb[k], np.float32), np.asarray(db[k], np.float32),
+                rtol=1e-5, atol=1e-6, err_msg=f"batch {i} key {k}")
+        if i >= 3:
+            break
+
+
+def test_real_device_loader_clima_norm_matches_host(cerra_tree):
+    """Per-week climatology normalization is separable across the window;
+    the device path must match the host's stacked-window normalization."""
+    import jax
+
+    from idee_tpu.data.device import RealDeviceLoader
+    from idee_tpu.data.loader import DataLoader
+
+    main, noaa = cerra_tree
+    ds = _ds(main, noaa, is_norm=True, is_clima_scale=True, delta_t=4)
+    host = DataLoader(ds, 2, shuffle=False, drop_last=True, seed=0)
+    dev = RealDeviceLoader(ds, 2, shuffle=False, drop_last=True, seed=0)
+    hb = next(iter(host))
+    db = jax.device_get(next(iter(dev)))
+    np.testing.assert_allclose(np.asarray(hb["x"], np.float32),
+                               np.asarray(db["x"], np.float32),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_real_fused_epoch_matches_per_step(cerra_tree, tmp_path):
+    """Real-pipeline analogue of test_fused_epoch: the fused lax.scan epoch
+    (steps_real.make_train_epoch_real) must reproduce the per-step path."""
+    from idee_tpu.config import Config
+    from idee_tpu.train.driver_real import train_real
+
+    main, noaa = cerra_tree
+
+    def run(fused, sub):
+        cfg = Config(
+            name=f"real_fused_{fused}", dir_log=str(tmp_path / sub),
+            in_channels=2, in_channels_dynamic=3, delta_t=8, threshold=26.0,
+            variables=["al", "t2m", "tp"], variables_static=[],
+            root_CERRA=main, root_NOAA_CERRA=noaa,
+            years_train=["1991"], years_val=["1991"],
+            grid_override=(16, 16), x_min=0, x_max=16, y_min=0, y_max=16,
+            en_embed_dim=[8, 8], en_depths=[1, 1], codebook_dim=8,
+            cls_dim=8, n_epochs=2, batch_size=2, is_aug=True,
+            is_norm=True, is_clima_scale=False,
+            device_data=True, fused_epoch=fused, fused_chunk=4, seed=0,
+        )
+        hist = train_real(cfg, "CERRA")
+        return hist, hist.pop("state")
+
+    hist_a, state_a = run(False, "a")
+    hist_b, state_b = run(True, "b")
+    for k in ("train_loss", "val_loss", "train_f1", "val_f1"):
+        np.testing.assert_allclose(hist_a[k], hist_b[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_structured_reanalysis_fixture_is_learnable(tmp_path):
+    """The structured fixture (data/fake.py write_structured_reanalysis)
+    must carry causal driver->drought structure: at drought pixels the
+    preceding window's |mean-channel| deviation exceeds the background, and
+    the drought rate sits in a trainable band."""
+    from idee_tpu.data.fake import write_structured_reanalysis
+
+    main, noaa = str(tmp_path / "CERRA"), str(tmp_path / "NOAA")
+    info = write_structured_reanalysis(
+        main, noaa, years=("1989", "1990"), height=48, width=64, seed=0)
+    assert 0.005 < info["drought_rate_valid"] < 0.25
+
+    spec = cerra_spec(8)
+    spec.grid_height, spec.grid_width = 48, 64
+    ds = ReanalysisDataset(
+        spec, main, noaa, delta_t=8, is_aug=False, is_norm=True,
+        variables=info["variables"], variables_static=[],
+        years=["1990"], threshold=26.0, alpha=0.5,
+        x_min=0, x_max=64, y_min=0, y_max=48)
+    dev_in, dev_out, n_pos = 0.0, 0.0, 0
+    for i in range(0, len(ds), 4):
+        it = ds[i]
+        me = it["mask_extreme"] > 0
+        if not me.any():
+            continue
+        # mean-channel deviation over the whole window [V, dt, H, W]
+        dev = np.abs(it["x"][:, 0]).mean(axis=(0, 1))
+        dev_in += float(dev[me].mean())
+        dev_out += float(dev[~me].mean())
+        n_pos += 1
+    assert n_pos >= 3, "fixture produced too few drought weeks"
+    assert dev_in / n_pos > 1.15 * (dev_out / n_pos), (
+        dev_in / n_pos, dev_out / n_pos)
+
+
 def test_real_train_driver_writes_panels(cerra_tree, tiny_config, tmp_path):
     """One epoch of the full real-world driver: evaluator output, checkpoints
     AND the TensorBoard image panels (probability/prediction/target +
