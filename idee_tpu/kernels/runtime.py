@@ -90,6 +90,23 @@ def attn_xfold_enabled() -> bool:
     return False
 
 
+def attn_lanes_enabled() -> bool:
+    """Gate for the window-batch-on-lanes PURE-XLA attention.
+
+    Lays every attention tensor out with the huge window-batch axis
+    minor ([G, n, hd, BW] / [G, n, n, BW]) and contracts the tiny hd /
+    token axes on the VPU as broadcast multiply-reduces -- zero tile
+    padding where the unfolded composition pads its (n, hd) minors up
+    to 16x (window_attention.py::_xla_lanes). Opt-in/out via
+    IDEE_ATTN_LANES while the full-step A/B is measured; default OFF
+    until it wins on silicon (BASELINE.md kernel A/B).
+    """
+    env = os.environ.get("IDEE_ATTN_LANES")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def set_force_pallas(value: bool) -> None:
     """Route kernels to their Pallas implementations even off-TPU (they run
     in interpret mode there) -- for correctness tests on CPU."""

@@ -52,14 +52,46 @@ _NEG = -1e9
 _BT = 16         # tiles batched per grid step
 
 
+def _mask_parts(mask):
+    """Normalize the shift-mask argument to trace-time numpy
+    (bank [K, n, n], idx [nW]) -- or None.
+
+    Accepts the deduplicated tuple form (compute_shift_mask) or a dense
+    [nW, n, n] array (tests / external callers); traced masks return
+    NotImplemented so the caller can fall back."""
+    if mask is None:
+        return None
+    if isinstance(mask, tuple):
+        bank, idx = mask
+        return (np.asarray(bank, np.float32),
+                np.asarray(idx, np.int64).reshape(-1))
+    if isinstance(mask, jax.core.Tracer):
+        return NotImplemented
+    mask = np.asarray(mask, np.float32)
+    nW, n = mask.shape[0], mask.shape[-1]
+    bank, idx = np.unique(mask.reshape(nW, -1), axis=0, return_inverse=True)
+    return bank.reshape(-1, n, n), idx.reshape(-1)
+
+
+def _mask_full(parts):
+    """Lazily-gathered dense [nW, n, n] device expression from parts (the
+    gather fuses into the consuming add; the dense form never lands as an
+    HLO constant -- 436 MB at the CERRA 512x832 geometry)."""
+    bank, idx = parts
+    return jnp.asarray(bank)[jnp.asarray(idx)]
+
+
 def _xla_impl(q, k, v, bias, mask, scale: float):
     """Reference composition (reference: Swin_3D.py:145-178).
 
-    q/k/v: [BW, n, G, hd]; bias: [G, n, n]; mask: [nW, n, n] or None.
+    q/k/v: [BW, n, G, hd]; bias: [G, n, n]; mask: (bank, idx) tuple /
+    [nW, n, n] dense / traced [nW, n, n] / None.
     """
     attn = jnp.einsum("bngd,bmgd->bgnm", q * scale, k)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
+        parts = _mask_parts(mask)
+        mask = mask if parts is NotImplemented else _mask_full(parts)
         BW = q.shape[0]
         nW = mask.shape[0]
         attn = attn.reshape(BW // nW, nW, *attn.shape[1:])
@@ -73,7 +105,7 @@ def _xla_impl(q, k, v, bias, mask, scale: float):
 # trace-time tile-pattern construction
 # ------------------------------------------------------------------
 
-def _tile_structure(BW: int, G: int, n: int, mask):
+def _tile_structure(BW: int, G: int, n: int, parts):
     """Pair-folded tiling structure (numpy, trace-time).
 
     Pairs are ordered (window-major, head-minor): pair = w*G + g. A tile
@@ -92,21 +124,18 @@ def _tile_structure(BW: int, G: int, n: int, mask):
     pad = (-n_pairs) % P
     tiles = (n_pairs + pad) // P
 
-    if mask is None:
+    if parts is None:
         mask_type = np.zeros(1, np.int64)
         mask_bank = np.zeros((1, n, n), np.float32)
     else:
-        mask = np.asarray(mask, np.float32)       # [nW, n, n]
-        nW = mask.shape[0]
-        mask_bank, mask_type = np.unique(mask.reshape(nW, -1), axis=0,
-                                         return_inverse=True)
-        mask_bank = mask_bank.reshape(-1, n, n)
+        mask_bank, mask_type = parts              # bank [K,n,n], idx [nW]
+        mask_type = np.asarray(mask_type, np.int64)
 
     K = len(mask_bank)
     pair = np.arange(tiles * P, dtype=np.int64)
     w = np.minimum(pair // G, BW - 1)            # padded pairs clamp
     g = pair % G
-    nW_eff = 1 if mask is None else mask_type.shape[0]
+    nW_eff = 1 if parts is None else mask_type.shape[0]
     mt = mask_type[(w % nW_eff)]
     key = (g * K + mt).reshape(tiles, P)         # per-pair additive id
     tile_keys, pattern_id = np.unique(key, axis=0, return_inverse=True)
@@ -336,8 +365,8 @@ def _xla_folded(q, k, v, bias, mask, scale):
     matmul (halves its HBM traffic; values are O(1)).
     """
     BW, n, G, hd = q.shape
-    mask_bank, gg, mm, pattern_id, pad = _tile_structure(
-        BW, G, n, None if mask is None else np.asarray(mask))
+    parts = _mask_parts(mask)
+    mask_bank, gg, mm, pattern_id, pad = _tile_structure(BW, G, n, parts)
     bases = _build_bases(bias, mask_bank, gg, mm, n)      # [n_pat, R, R]
     base = jnp.take(bases, jnp.asarray(pattern_id), axis=0)
 
@@ -351,18 +380,68 @@ def _xla_folded(q, k, v, bias, mask, scale):
     return _from_pairs(o, BW, n, G, hd, None)
 
 
-def _can_fuse(q, mask) -> bool:
+def _xla_lanes(q, k, v, bias, mask, scale):
+    """Window-batch-on-LANES attention in pure XLA.
+
+    The third layout family (after the unfolded composition and the
+    128-row pair fold): every attention tensor is laid out with the HUGE
+    window-batch axis BW minor -- [G, n, hd, BW] / [G, n, n, BW] -- so
+    the (8, 128) tile is always fully utilized (BW is 10k-80k at the
+    bench geometry) where the unfolded composition's [BW, G, n, hd]
+    temps pad their tiny (n<=32, hd=8) minors up to 16x (BASELINE.md
+    memory envelope: 12.5 GB of padding in the batch-2 Swin program).
+
+    The contraction axes (hd and the softmax token axis) are tiny -- 8
+    both, at the default window sizes -- so the scores are computed as a
+    broadcast multiply-reduce over hd on the VPU (elementwise + reduce
+    fuse into one pass; the MXU formulation would pad the K=8
+    contraction to 128 anyway, i.e. the matmul units cannot go faster
+    than the VPU on this shape). Scores accumulate in f32; the
+    probability tensor is cast back to the input dtype for the PV
+    reduce (values are O(1); halves its HBM traffic). Backward is plain
+    autodiff of the same layout. q/k/v: [BW, n, G, hd]; bias [G, n, n];
+    mask: trace-time (bank [K, n, n], idx [nW]) pair / dense [nW, n, n] /
+    None (reference math: Swin_3D.py:145-178).
+    """
+    mask_parts = _mask_parts(mask)
+    BW, n, G, hd = q.shape
+    # [BW, n, G, hd] -> [G, n, hd, BW]; XLA folds the producing
+    # reshape/slice chain into this copy, so the padded [BW, n, G, hd]
+    # form never lands in HBM
+    qt, kt, vt = (jnp.transpose(t, (2, 1, 3, 0)) for t in (q, k, v))
+    f32 = jnp.float32
+    s = jnp.sum((qt[:, :, None].astype(f32) * scale)
+                * kt[:, None].astype(f32), axis=3)        # [G, n, n, BW]
+    s = s + bias.astype(f32)[..., None]
+    if mask_parts is not None:
+        bank, idx = mask_parts
+        nW = idx.shape[0]
+        # BW is (batch-major, window-minor): window_partition emits
+        # [B * nW] with the window index minor; the bank gather fuses
+        # into the add (the dense [n, n, nW] mask never materializes)
+        bank_t = jnp.asarray(np.transpose(bank, (1, 2, 0)))  # [n, n, K]
+        s = (s.reshape(G, n, n, BW // nW, nW)
+             + bank_t[:, :, jnp.asarray(idx)][:, :, None])
+        s = s.reshape(G, n, n, BW)
+    p = jax.nn.softmax(s, axis=2).astype(v.dtype)
+    o = jnp.sum(p[:, :, :, None] * vt[:, None], axis=2)   # [G, n, hd, BW]
+    return jnp.transpose(o, (3, 1, 0, 2))
+
+
+def _can_fuse(q, parts) -> bool:
     BW, n, G, hd = q.shape
     if n > _ROWS or _ROWS % n != 0:
         return False
-    if mask is not None and q.shape[0] % mask.shape[0] != 0:
+    if parts is NotImplemented:
+        return False  # traced mask: only the unfolded path can take it
+    if parts is not None and q.shape[0] % parts[1].shape[0] != 0:
         return False
     return True
 
 
 def _structure(BW, n, G, mask):
     mask_bank, gg, mm, pattern_id, pad = _tile_structure(
-        BW, G, n, None if mask is None else np.asarray(mask))
+        BW, G, n, _mask_parts(mask))
     order, inv, step_pattern = _group_tiles(pattern_id, _BT)
     return mask_bank, gg, mm, pad, order, inv, step_pattern
 
@@ -385,20 +464,28 @@ def window_attention(q, k, v, bias, mask, scale):
     """softmax(q k^T * scale + bias [+ mask]) v, fused per 128-row tile.
 
     q/k/v: [BW, n, G, hd] (G = folded variable*head planes);
-    bias: [G, n, n] (live parameter); mask: [nW, n, n] additive shift mask
-    or None. The mask must be a trace-time CONSTANT (the Swin modules build
-    it with numpy, Swin_3D.py:340-352 semantics) -- a traced mask falls
-    back to the XLA composition. Returns [BW, n, G, hd].
+    bias: [G, n, n] (live parameter); mask: a deduplicated trace-time
+    numpy (bank [K, n, n], idx [nW]) pair (compute_shift_mask), a dense
+    [nW, n, n] additive shift mask, or None. The mask must be a
+    trace-time CONSTANT (the Swin modules build it with numpy,
+    Swin_3D.py:340-352 semantics) -- a traced mask falls back to the XLA
+    composition. Returns [BW, n, G, hd].
 
     Both passes are fused Pallas kernels: the tile structure (which
     bias/mask pattern each 128-row tile needs, and the pattern-grouped
     tile order) is computed once at trace time and closed over by a
     per-call custom_vjp, so autodiff never sees the structure constants.
     """
-    from idee_tpu.kernels.runtime import (attn_pallas_enabled,
+    from idee_tpu.kernels.runtime import (attn_lanes_enabled,
+                                          attn_pallas_enabled,
                                           attn_xfold_enabled, use_pallas)
 
-    foldable = _can_fuse(q, mask) and not isinstance(mask, jax.core.Tracer)
+    parts = _mask_parts(mask)
+    foldable = _can_fuse(q, parts)
+    if (attn_lanes_enabled() and parts is not NotImplemented
+            and (parts is None
+                 or q.shape[0] % parts[1].shape[0] == 0)):
+        return _xla_lanes(q, k, v, bias, parts, scale)
     if foldable and attn_xfold_enabled():
         return _xla_folded(q, k, v, bias, mask, scale)
     if not use_pallas() or not attn_pallas_enabled() or not foldable:

@@ -172,8 +172,8 @@ class CNN_3D(nn.Module):
                 kernel_init=self.kernel_init, dtype=self.dtype,
                 name=f"block{i}")
             if self.use_checkpoint:
-                x = nn.remat(lambda m, a: m(a, train=train),
-                             prevent_cse=False)(blk, x)
+                # prevent_cse stays ON (default) -- see nn/swin3d.py
+                x = nn.remat(lambda m, a: m(a, train=train))(blk, x)
             else:
                 x = blk(x, train=train)
         x = GroupedProjHead(V, out_channels[-1],

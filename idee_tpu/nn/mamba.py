@@ -331,7 +331,8 @@ class PackedMambaStage(nn.Module):
                 kernel_init=self.kernel_init, dtype=self.dtype,
                 name=f"block{i}")
             if self.use_checkpoint:
-                x = nn.remat(lambda m, a: m(a, train), prevent_cse=False)(blk, x)
+                # prevent_cse stays ON (default) -- see nn/swin3d.py
+                x = nn.remat(lambda m, a: m(a, train))(blk, x)
             else:
                 x = blk(x, train)
         return x

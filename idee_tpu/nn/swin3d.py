@@ -86,9 +86,18 @@ def relative_position_index(ws: Tuple[int, int, int]) -> np.ndarray:
     return rel.sum(-1)  # [n, n]
 
 
-def compute_shift_mask(Dp: int, Hp: int, Wp: int, ws, ss) -> Optional[np.ndarray]:
-    """[nW, n, n] additive attention mask (0 / -100) for shifted windows
-    (reference: Swin_3D.py:340-352). Trace-time numpy constant."""
+def compute_shift_mask(Dp: int, Hp: int, Wp: int, ws, ss
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Additive attention mask (0 / -100) for shifted windows
+    (reference: Swin_3D.py:340-352). Trace-time numpy constants.
+
+    Returns None when nothing is shifted, else a DEDUPLICATED
+    (bank [K, n, n], idx [nW] -> bank row) pair: only windows on the
+    cyclic-wrap boundary differ, so K is tiny (<= 8) while nW grows with
+    the grid -- at the CERRA 512x832 crop the dense [nW, n, n] form is a
+    436 MB constant that overflows the remote-compile transport, where
+    bank+idx is < 1 MB. Consumers gather bank[idx] lazily on device (the
+    gather fuses into the additive-mask add)."""
     if not any(s > 0 for s in ss):
         return None
     img = np.zeros((1, Dp, Hp, Wp, 1), np.float32)
@@ -107,7 +116,20 @@ def compute_shift_mask(Dp: int, Hp: int, Wp: int, ws, ss) -> Optional[np.ndarray
                     ws[2], C)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, _reduce(mul, ws))
     mask = x[:, None, :] - x[:, :, None]
-    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+    mask = np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+    n = mask.shape[-1]
+    bank, idx = np.unique(mask.reshape(mask.shape[0], -1), axis=0,
+                          return_inverse=True)
+    return bank.reshape(-1, n, n), idx.astype(np.int32).reshape(-1)
+
+
+def mask_bank_to_full(mask):
+    """(bank, idx) -> lazily-gathered [nW, n, n] device expression (or
+    pass-through for None / a pre-densified array)."""
+    if mask is None or not isinstance(mask, tuple):
+        return mask
+    bank, idx = mask
+    return jnp.asarray(bank)[jnp.asarray(idx)]
 
 
 class PackedWindowAttention3D(nn.Module):
@@ -162,9 +184,10 @@ class PackedWindowAttention3D(nn.Module):
             attn = jnp.einsum("bngd,bmgd->bgnm", q * scale, k)
             attn = attn + bias[None].astype(attn.dtype)
             if mask is not None:
-                nW = mask.shape[0]
+                mask_full = mask_bank_to_full(mask)
+                nW = mask_full.shape[0]
                 attn = attn.reshape(B_ // nW, nW, V * h, n, n)
-                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn + mask_full[None, :, None].astype(attn.dtype)
                 attn = attn.reshape(B_, V * h, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
@@ -222,8 +245,8 @@ class PackedSwinBlock3D(nn.Module):
         shifted = any(s > 0 for s in ss)
         if shifted:
             y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+            # stays a trace-time numpy (bank, idx) pair; consumers gather
             mask = compute_shift_mask(Dp, Hp, Wp, ws, ss)
-            mask = jnp.asarray(mask) if mask is not None else None
         else:
             mask = None
 
@@ -404,8 +427,12 @@ class PackedSwinStage(nn.Module):
                 kernel_init=self.kernel_init, dtype=self.dtype,
                 name=f"block{i}")
             if self.use_checkpoint:
-                x = nn.remat(lambda m, a: m(a, train),
-                             prevent_cse=False)(blk, x)
+                # prevent_cse must stay ON (the default): with it off, XLA
+                # CSEs the recomputed forward back into the saved one and
+                # the remat is a measured no-op (memory_fit.py probes were
+                # byte-identical). Modern JAX implements it with
+                # optimization_barrier, which is free on TPU.
+                x = nn.remat(lambda m, a: m(a, train))(blk, x)
             else:
                 x = blk(x, train)
         return x

@@ -52,8 +52,10 @@ def test_relative_position_index_range():
 
 def test_shift_mask_blocks_cross_boundary():
     ws, ss = (1, 4, 4), (0, 2, 2)
-    mask = compute_shift_mask(1, 8, 8, ws, ss)
-    assert mask is not None
+    parts = compute_shift_mask(1, 8, 8, ws, ss)
+    assert parts is not None
+    bank, idx = parts   # deduplicated bank + per-window row index
+    mask = bank[idx]
     assert mask.shape == (4, 16, 16)
     assert set(np.unique(mask)) == {-100.0, 0.0}
     # the first window (interior) has no boundary crossings

@@ -378,3 +378,59 @@ class TestXlaFoldedAttention:
         ref = wa._xla_impl(q, k, v, bias, None, 0.35)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestXlaLanesAttention:
+    """Window-batch-on-lanes attention (_xla_lanes) vs the unfolded XLA
+    composition — forward and full autodiff, masked and unmasked, both
+    default stage geometries (n=32 and n=8)."""
+
+    _inputs = TestWindowAttention._inputs
+    _shift_mask = TestWindowAttention._shift_mask
+
+    def test_forward_matches_stage1(self):
+        from idee_tpu.kernels.window_attention import _xla_impl, _xla_lanes
+
+        q, k, v, bias = self._inputs(BW=24, n=32, G=12)
+        ref = _xla_impl(q, k, v, bias, None, 0.35)
+        out = _xla_lanes(q, k, v, bias, None, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_forward_masked_stage2(self):
+        from idee_tpu.kernels.window_attention import _xla_impl, _xla_lanes
+
+        nW = 6
+        q, k, v, bias = self._inputs(BW=3 * nW, n=8, G=12)
+        mask = self._shift_mask(nW, 8)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        out = _xla_lanes(q, k, v, bias, mask, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_grads_match(self):
+        from idee_tpu.kernels.window_attention import _xla_impl, _xla_lanes
+
+        nW = 4
+        q, k, v, bias = self._inputs(BW=3 * nW, n=8, G=12)
+        mask = self._shift_mask(nW, 8)
+
+        def loss(impl, args):
+            out = impl(*args, mask, 0.35)
+            return jnp.sum(jnp.sin(out))
+
+        g_ref = jax.grad(lambda a: loss(_xla_impl, a))((q, k, v, bias))
+        g_new = jax.grad(lambda a: loss(_xla_lanes, a))((q, k, v, bias))
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_dispatch_opt_in(self, monkeypatch):
+        from idee_tpu.kernels import window_attention as wa
+
+        q, k, v, bias = self._inputs(BW=12, n=8, G=12)
+        monkeypatch.setenv("IDEE_ATTN_LANES", "1")
+        out = wa.window_attention(q, k, v, bias, None, 0.35)
+        ref = wa._xla_impl(q, k, v, bias, None, 0.35)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
