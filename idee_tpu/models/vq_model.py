@@ -295,18 +295,27 @@ class VQModel(nn.Module):
         N, T, H, W, VC = zp.shape
         C = VC // V
 
-        # tokens: row-major [N,T,H,W,V,C] -> [M, C] is a free reshape
-        parts = self.vq.quantize_flat(zp.reshape(-1, C), train=train)
-        s_q = parts.s_q.reshape(N, T, H, W, V)
-        anomaly = jnp.transpose(parts.indices.reshape(N, T, H, W, V),
-                                (0, 4, 1, 2, 3))  # [N,V,T,H,W]
+        # block-diagonal quantize in the packed layout: [.., V*C] stays on
+        # wide lanes end-to-end (a flat [M, C] relayout would tile-pad 8x
+        # -- ~15 GB at the CERRA 512x832 geometry -- and block GSPMD
+        # spatial-sharding propagation; see LFQ.quantize_packed)
+        parts = self.vq.quantize_packed(zp, V, train=train)
+        s_q = parts.s_q  # [N,T,H,W,V]
+        anomaly = jnp.transpose(parts.indices, (0, 4, 1, 2, 3))  # [N,V,T,H,W]
 
         w_out, b_out = self.vq.out_proj_params()
-        # packed z_q for the classifier, cast to compute dtype immediately
-        # (the fp32 [.., V, C] tensor stays inside the producing fusion)
-        zq_packed = (s_q[..., None] * w_out + b_out)
-        zc, y = self.cls(zq_packed.reshape(N, T, H, W, VC).astype(dtype),
-                         train=train, packed=True)
+        # packed z_q straight to [.., V*C] via the block-diagonal expansion
+        # zq[.., v*C+c] = s_q[.., v] * w_out[c] + b_out[c]; cast to compute
+        # dtype immediately (the fp32 form stays inside the producing
+        # fusion; no [.., V, C] 6-D narrow-minor intermediate)
+        import numpy as np
+
+        blk = np.equal.outer(np.arange(VC) // C,
+                             np.arange(V)).astype(np.float32)  # [VC, V]
+        w_exp = jnp.tile(w_out, V)[:, None] * blk               # [VC, V]
+        zq_packed = (jnp.einsum("...v,kv->...k", s_q, w_exp)
+                     + jnp.tile(b_out, V))                       # [.., VC]
+        zc, y = self.cls(zq_packed.astype(dtype), train=train, packed=True)
 
         vq0 = jax.lax.stop_gradient(b_out - w_out)  # project_out(-1)
         loss_anomaly = None
@@ -319,7 +328,8 @@ class VQModel(nn.Module):
 
         # reference-layout z_q [N,V,C,T,H,W] for eval/tests; dead (DCE) in
         # the train step, whose loss uses the fused loss_anomaly instead
-        z_q = jnp.transpose(zq_packed, (0, 4, 5, 1, 2, 3))
+        z_q = jnp.transpose(zq_packed.reshape(N, T, H, W, V, C),
+                            (0, 4, 5, 1, 2, 3))
         return VQOutput(zc.astype(jnp.float32), y.astype(jnp.float32),
                         anomaly, z_q, parts.aux_loss, vq0, loss_anomaly)
 

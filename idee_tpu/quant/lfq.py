@@ -176,6 +176,11 @@ class LFQ(nn.Module):
         TPU-friendly shape (the generic __call__ path's [M, 1] / [M, 2]
         intermediates tile-pad 64-128x).
 
+        NOTE: when the caller's natural layout is packed [..., V*dim]
+        (the model's internal layout), prefer quantize_packed -- the
+        reshape to [M, dim] here forces an 8x-lane-padded relayout of the
+        whole activation on TPU and blocks GSPMD sharding propagation.
+
         Math parity with __call__ / the reference (models/codebook/LFQ.py:
         184-307): project_in -> sign quantize + STE -> entropy & commitment
         losses with softmax over the 2-code implicit codebook at
@@ -185,7 +190,43 @@ class LFQ(nn.Module):
         x = x.astype(jnp.float32)
         k_in, b_in = self.in_proj_params()
         s = jnp.einsum("mc,c->m", x, k_in) + b_in  # [M] fp32
+        return self._scalar_core(s, train)
 
+    def quantize_packed(self, zp, n_vars: int, *,
+                        train: bool = False) -> LFQScalarParts:
+        """1-bit fast path in the packed [..., V*dim] layout.
+
+        Same math as quantize_flat (each variable's dim-sized block is one
+        token), but the projection runs as ONE block-diagonal contraction
+        [..., V*dim] @ [V*dim, V], so the activation never leaves its
+        native wide-lane layout. The flat form's `reshape(-1, dim)` turns a
+        (V*dim)-lane tensor into a dim-lane one -- on TPU that is a forced
+        relayout copy padded 128/dim x per (8,128) tile (at the CERRA
+        512x832 geometry the [20.4M, 16] fp32 relayout alone is ~15 GB of
+        HBM) and, because the spatial axes are flattened away, it also
+        stops GSPMD spatial sharding from propagating into the quantizer.
+
+        zp: [..., V*dim] activations (any compute dtype; fp32 island here).
+        Returns LFQScalarParts with s_q / indices shaped [..., V].
+        """
+        assert self.codebook_dims == 1, "fast path requires codebook_size=2"
+        V, d = int(n_vars), self.dim
+        assert zp.shape[-1] == V * d, (zp.shape, V, d)
+        k_in, b_in = self.in_proj_params()
+        # blk[k, v] = 1 iff k // dim == v: trace-time constant; gradient
+        # flows to k_in through the tile+multiply
+        import numpy as np
+
+        blk = np.equal.outer(np.arange(V * d) // d,
+                             np.arange(V)).astype(np.float32)
+        w_blk = jnp.tile(k_in, V)[:, None] * blk  # [V*dim, V]
+        s = jnp.einsum("...k,kv->...v", zp.astype(jnp.float32),
+                       w_blk) + b_in
+        return self._scalar_core(s, train)
+
+    def _scalar_core(self, s, train: bool) -> LFQScalarParts:
+        """Shared scalar tail of the 1-bit fast paths: sign quantize + STE,
+        entropy and commitment losses (any-shaped fp32 latent s)."""
         scale = self.codebook_scale
         q = jnp.where(s > 0, scale, -scale)
         if train:

@@ -16,7 +16,18 @@ Usage:
       --batch 1 --hw 512x832                      # CERRA geometry
   python scripts/memory_fit.py --family synthetic --encoder Swin_3D \
       --batch 2 --hw 200                          # bench geometry
+  python scripts/memory_fit.py --family real --encoder Swin_3D \
+      --batch 1 --hw 512x832 --topology v5e:2x2 --mesh 1x4
+      # sharded fit: AOT-compile against an ABSTRACT v5e slice
+      # (jax.experimental.topologies) -- per-DEVICE memory stats for the
+      # data x space GSPMD program without owning the chips
 Prints one JSON line per probe: {temp_gb, args_gb, total_gb, fits_16gb}.
+
+Empirically on this container the remote compile helper hard-crashes
+(HTTP 500, subprocess exit 1) instead of reporting stats when the
+single-chip program's buffer assignment exceeds HBM; a probe "error" row
+therefore reads as "does not fit", bracketed by the nearest passing
+geometry.
 """
 # ------------------------------------------------------------------
 
@@ -31,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def probe(family: str, encoder: str, batch: int, H: int, W: int,
-          dtype: str, remat: bool, fused_chunk: int = 0) -> dict:
+          dtype: str, remat: bool, fused_chunk: int = 0,
+          topology: str = "", mesh_shape: str = "") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,20 +93,49 @@ def probe(family: str, encoder: str, batch: int, H: int, W: int,
     metrics_s = jax.tree.map(
         lambda a: S(a.shape, a.dtype), metrics)
 
+    jit_kwargs = {"donate_argnums": (0, 1)}
+    mesh_desc = ""
+    if topology:
+        # sharded fit against an ABSTRACT TPU slice: per-device stats
+        # come out of CompiledMemoryStats exactly as for a real slice
+        import numpy as np
+        from jax.experimental import topologies
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from idee_tpu.parallel.mesh import spatial_sharding
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=topology)
+        dims = [int(v) for v in (mesh_shape or str(len(topo.devices))
+                                 ).split("x")]
+        axes = ("data", "space")[:len(dims)] or ("data",)
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(topo.devices).reshape(tuple(dims)), axes)
+        rep = NamedSharding(mesh, P())
+        if "space" in axes:
+            spec = spatial_sharding(mesh)["spec_fn"]
+        else:
+            spec = lambda rank: NamedSharding(mesh, P("data"))
+        batch_sh = {k: spec(len(v.shape)) for k, v in batch_s.items()}
+        jit_kwargs["in_shardings"] = (rep, rep, batch_sh)
+        mesh_desc = f"{topology} mesh {'x'.join(map(str, dims))}"
+
     t0 = time.perf_counter()
-    lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
+    lowered = jax.jit(step, **jit_kwargs).lower(
         state_s, metrics_s, batch_s)
     try:
         compiled = lowered.compile()
     except Exception as e:  # OOM at compile time is a valid result
         return {"family": family, "encoder": encoder, "batch": batch,
                 "hw": f"{H}x{W}", "dtype": dtype, "remat": remat,
-                "error": str(e)[:300]}
+                "mesh": mesh_desc,
+                "error": str(e)[:int(os.environ.get("FIT_ERRLEN", "300"))]}
     ma = compiled.memory_analysis()
     gb = 1024 ** 3
     out = {
         "family": family, "encoder": encoder, "batch": batch,
         "hw": f"{H}x{W}", "dtype": dtype, "remat": remat,
+        "mesh": mesh_desc,
         "temp_gb": round(ma.temp_size_in_bytes / gb, 3),
         "args_gb": round(ma.argument_size_in_bytes / gb, 3),
         "out_gb": round(ma.output_size_in_bytes / gb, 3),
@@ -119,13 +160,21 @@ def main():
                     help="HxW (e.g. 512x832) or one square size")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--topology", default="",
+                    help="abstract TPU slice, e.g. v5e:2x2 / v5e:4x2 "
+                         "(jax.experimental.topologies)")
+    ap.add_argument("--mesh", default="",
+                    help="data x space mesh shape over the topology, "
+                         "e.g. 1x4 (default: all devices on data)")
     args = ap.parse_args()
     if "x" in args.hw:
         H, W = (int(v) for v in args.hw.split("x"))
     else:
         H = W = int(args.hw)
     print(json.dumps(probe(args.family, args.encoder, args.batch, H, W,
-                           args.dtype, args.remat)), flush=True)
+                           args.dtype, args.remat,
+                           topology=args.topology, mesh_shape=args.mesh)),
+          flush=True)
 
 
 if __name__ == "__main__":

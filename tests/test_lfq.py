@@ -126,3 +126,35 @@ def test_parity_vs_reference_torch():
     jcode = jmodel.apply({"params": params}, jnp.zeros((1,), jnp.int32),
                          method=jmodel.indices_to_codes)
     np.testing.assert_allclose(np.asarray(jcode), tcode.numpy(), atol=1e-6)
+
+
+def test_quantize_packed_matches_flat():
+    """quantize_packed ([.., V*dim] block-diagonal layout) is numerically
+    identical to quantize_flat on the row-major flattening -- s_q, indices,
+    aux loss AND gradients (the packed path exists purely for TPU layout:
+    the flat [M, dim] relayout tile-pads 8x and blocks GSPMD propagation)."""
+    V, C = 6, 16
+    lfq = LFQ(dim=C, codebook_size=2)
+    rng = np.random.default_rng(3)
+    zp = jnp.asarray(rng.normal(size=(2, 3, 4, 5, V * C)).astype(np.float32))
+    vs = _init(lfq, zp.reshape(-1, C)[:, None, :])
+
+    def run_flat(z):
+        parts = lfq.apply(vs, z.reshape(-1, C), train=True,
+                          method=lfq.quantize_flat)
+        return parts.s_q.reshape(2, 3, 4, 5, V), parts.indices, parts.aux_loss
+
+    def run_packed(z):
+        parts = lfq.apply(vs, z, train=True, method=lfq.quantize_packed,
+                          n_vars=V)
+        return parts.s_q, parts.indices.reshape(-1), parts.aux_loss
+
+    sf, idxf, auxf = run_flat(zp)
+    sp, idxp, auxp = run_packed(zp)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sf), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxp), np.asarray(idxf))
+    np.testing.assert_allclose(float(auxp), float(auxf), rtol=1e-5)
+
+    gf = jax.grad(lambda z: run_flat(z)[2] + jnp.sum(run_flat(z)[0]))(zp)
+    gp = jax.grad(lambda z: run_packed(z)[2] + jnp.sum(run_packed(z)[0]))(zp)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gf), atol=1e-5)
