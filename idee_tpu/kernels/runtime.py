@@ -97,14 +97,25 @@ def attn_lanes_enabled() -> bool:
     minor ([G, n, hd, BW] / [G, n, n, BW]) and contracts the tiny hd /
     token axes on the VPU as broadcast multiply-reduces -- zero tile
     padding where the unfolded composition pads its (n, hd) minors up
-    to 16x (window_attention.py::_xla_lanes). Opt-in/out via
-    IDEE_ATTN_LANES while the full-step A/B is measured; default OFF
-    until it wins on silicon (BASELINE.md kernel A/B).
+    to 16x (window_attention.py::_xla_lanes).
+
+    DEFAULT ON FOR TPU TARGETS: full-step A/B at the bench geometry
+    (200x200, batch 1, bf16, fused-scan, median of 3; 2026-08-19, real
+    v5e) measured 6.418 steps/s lanes vs 4.289 unfolded (+50%) -- the
+    tile-padding removal wins end-to-end where the pair-fold variants
+    lost to their wrapper/extra-MXU costs (see attn_pallas_enabled /
+    attn_xfold_enabled). The layout is a (8, 128)-tile optimization, so
+    the default follows the same TPU gate as the Pallas kernels
+    (use_pallas): on CPU backends -- tests, the multichip dry-run's CPU
+    mesh (set_force_xla) -- the unfolded composition stays the default.
+    IDEE_ATTN_LANES=0/1 overrides either way; geometries the layout
+    cannot take (traced masks, BW % nW != 0) fall through to the
+    unfolded composition at dispatch.
     """
     env = os.environ.get("IDEE_ATTN_LANES")
     if env is not None:
         return env not in ("0", "false", "False")
-    return False
+    return not _FORCE_XLA and jax.default_backend() == "tpu"
 
 
 def set_force_pallas(value: bool) -> None:

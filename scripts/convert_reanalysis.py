@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--x_max", type=int, default=None)
     ap.add_argument("--y_min", type=int, default=0)
     ap.add_argument("--y_max", type=int, default=None)
+    ap.add_argument("--grid", default=None,
+                    help="override the spec's native grid as HxW (e.g. "
+                    "512x832) -- for archives already stored at a crop "
+                    "size, mirroring Config.grid_override in the drivers")
     ap.add_argument("--validate", action="store_true",
                     help="after converting, re-read the first year through "
                     "BOTH the cache and the direct-NetCDF path and compare "
@@ -71,6 +75,10 @@ def main():
         spec = era5_land_spec(args.region, delta_t=8)
         root_main = os.path.join(args.root_main, args.region)
         root_noaa = os.path.join(args.root_noaa, args.region)
+
+    if args.grid:
+        h, w = (int(v) for v in args.grid.split("x"))
+        spec.grid_height, spec.grid_width = h, w
 
     years = parse_years(args.years)
     t0 = time.time()
