@@ -44,3 +44,17 @@ REFERENCE = "/root/reference"
 
 def has_reference():
     return os.path.isdir(REFERENCE)
+
+
+# The torch-golden modules dominate suite runtime (they rebuild reference
+# torch models per test); auto-mark them so the review loop can deselect
+# with `-m "not golden"` while CI-style full runs keep them (pytest.ini).
+_GOLDEN_MODULES_PREFIXES = ("tests.test_golden_", "test_golden_",
+                            "tests.test_interop", "test_interop")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item.module, "__name__", "")
+        if mod.startswith(_GOLDEN_MODULES_PREFIXES):
+            item.add_marker(pytest.mark.golden)
