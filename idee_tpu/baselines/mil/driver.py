@@ -254,7 +254,7 @@ def train_mil_synthetic(cfg: MILConfig, variant: str,
 
     best_loss_train, best_loss_val = np.inf, np.inf
     history = {"train_loss": [], "val_loss": [], "train_anom_f1": [],
-               "val_anom_f1": [], "steps_per_sec": []}
+               "val_anom_f1": [], "val_pred_rate": [], "steps_per_sec": []}
     eval_rng = jax.random.PRNGKey(cfg.seed + 1)
 
     for epoch in range(cfg.n_epochs):
@@ -282,6 +282,12 @@ def train_mil_synthetic(cfg: MILConfig, variant: str,
         m = jax.device_get(metrics)
         mean_loss_val = float(m["loss_sum"]) / max(int(m["n_steps"]), 1)
         anomaly = majority_vote_from_device(m["vote_sum"], m["vote_cnt"])
+        # predicted-positive rate over voted timesteps: separates "scores
+        # never cross 0.5" (rate ~ 0, F1 undefined/0) from genuinely poor
+        # ranking -- the key diagnostic for the ARNet zoo anomaly
+        voted = np.asarray(m["vote_cnt"]) > 0
+        history["val_pred_rate"].append(
+            float(anomaly[:, voted].mean()) if voted.any() else float("nan"))
         eval_val(np.swapaxes(anomaly, 0, 1),
                  np.swapaxes(val_ds.anomaly, 0, 1))
         eval_val.get_results()

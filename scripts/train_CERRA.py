@@ -16,7 +16,14 @@ from idee_tpu.train.driver_real import train_real  # noqa: E402
 def main():
     defaults = Config(in_channels=2)
     cfg = config_file.read_arguments(train=True, defaults=defaults)
-    train_real(cfg, "CERRA")
+    hist = train_real(cfg, "CERRA")
+    # persist the per-epoch trajectory next to the checkpoints so harvest
+    # scripts can read best-F1 / steps-per-sec without parsing the log
+    import json
+
+    hist.pop("state", None)
+    with open(os.path.join(cfg.log_dir, "history.json"), "w") as fh:
+        json.dump(hist, fh, indent=1)
 
 
 if __name__ == "__main__":
