@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--era5", default="",
                     help="CORDEX region name (e.g. EUR-11); writes the "
                          "ERA5-Land layout instead of CERRA")
+    ap.add_argument("--variables", default="",
+                    help="comma-separated variable names to write "
+                         "(default: CERRA 6-var list, or the first 6 of "
+                         "the reference ERA5-Land list with --era5)")
     args = ap.parse_args()
 
     from idee_tpu.data.fake import write_structured_reanalysis
@@ -43,8 +47,11 @@ def main():
     t0 = time.perf_counter()
     main_root = os.path.join(args.root, "ERA5" if args.era5 else "CERRA")
     noaa_root = os.path.join(args.root, "NOAA")
-    variables = (["d2m", "t2m", "fal", "sp", "e", "tp"] if args.era5
-                 else None)
+    if args.variables:
+        variables = args.variables.split(",")
+    else:
+        variables = (["d2m", "t2m", "fal", "sp", "e", "tp"] if args.era5
+                     else None)
     info = write_structured_reanalysis(
         main_root, noaa_root,
         years=tuple(args.years.split(",")),

@@ -7,6 +7,7 @@
 # harvested into BASELINE.md manually.
 set -u
 cd /root/repo
+mkdir -p /root/work
 LOG=/root/work/queue4b.log
 echo "[q2] start $(date)" >> "$LOG"
 
@@ -23,15 +24,20 @@ for CB in VQ_EMA FSQ; do
 done
 
 # --- VERDICT #7: ERA5-Land EUR-11 at its real 412x424 aspect -------------
+# Fixture years 1990-1992 avoid the reference's 1981/2024 skip rules
+# (dataset/ERA5_Land_dataset.py:244-247) eating most of the first year;
+# 1989 is a lead-in year for the indexer's delta_t rollover.
 FIX=/root/work/era5_fix
-if [ ! -d "$FIX/ERA5_Land/EUR-11" ]; then
+if [ ! -d "$FIX/ERA5/EUR-11" ]; then
   echo "[q2] era5 fixture gen $(date)" >> "$LOG"
-  python /root/work/gen_era5_fixture.py >> "$LOG" 2>&1
+  python scripts/data/make_cerra_fixture.py --root "$FIX" --era5 EUR-11 \
+    --height 412 --width 424 --years 1989,1990,1991,1992 \
+    --variables d2m,t2m,fal,sp,e,tp,skt,stl1,swvl1 >> "$LOG" 2>&1
 fi
 if [ ! -d "$FIX/cache" ]; then
   python scripts/convert_reanalysis.py --family ERA5_Land --region EUR-11 \
-    --root_main "$FIX/ERA5_Land" --root_noaa "$FIX/NOAA_CORDEX" \
-    --years 1981-1983 \
+    --root_main "$FIX/ERA5" --root_noaa "$FIX/NOAA" \
+    --years 1990-1992 \
     --variables d2m t2m fal sp e tp skt stl1 swvl1 \
     --out "$FIX/cache" \
     --x_min 0 --x_max 424 --y_min 0 --y_max 412 --validate >> "$LOG" 2>&1
@@ -39,14 +45,14 @@ fi
 echo "[q2] era5 train $(date)" >> "$LOG"
 timeout 2h python scripts/train_ERA5_Land.py \
   --name era5_eur11_CNN_3D --dir_log /root/work/log \
-  --root_ERA5_Land "$FIX/ERA5_Land" --root_NOAA "$FIX/NOAA_CORDEX" \
+  --root_ERA5_Land "$FIX/ERA5" --root_NOAA "$FIX/NOAA" \
   --region EUR-11 --cache_root "$FIX/cache" \
   --x_min 0 --x_max 424 --y_min 0 --y_max 412 \
-  --years_train "['1981','1982']" --years_val "['1983']" \
+  --years_train "['1990','1991']" --years_val "['1992']" \
   --variables "['d2m','t2m','fal','sp','e','tp','skt','stl1','swvl1']" \
   --in_channels_dynamic 9 --variables_static "[]" \
   --encoder CNN_3D --dtype bfloat16 --batch_size 1 \
-  --en_use_checkpoint true --loader_workers 2 \
+  --en_use_checkpoint true --loader_workers 0 \
   --n_epochs 4 \
   --init_scheme lecun --codebook_freeze_out true \
   --lambda_commitment 0 --lambda_anomaly 0 \

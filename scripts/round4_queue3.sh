@@ -12,6 +12,7 @@
 #   * VERDICT #5 second half: the 48x48 zoo at >=15 epochs
 set -u
 cd /root/repo
+mkdir -p /root/work
 LOG=/root/work/queue4c.log
 echo "[q3] start $(date)" >> "$LOG"
 
@@ -53,6 +54,7 @@ echo "[q3] native density exit=$? $(date)" >> "$LOG"
 # --- 3. 48x48 zoo at 15 epochs (VERDICT #5) -------------------------------
 echo "[q3] zoo15 $(date)" >> "$LOG"
 timeout 4h python scripts/train_baselines_zoo.py \
+  --which deepmil,arnet,rtfm,mgfn,simplenet,steal,uniad \
   --hw 48 --years 40 --epochs 15 \
   --pretrained /root/work/log/acc_CNN_3D_48/model_checkpoints/best_F1_model \
   --out /root/work/zoo48_15ep.json \
