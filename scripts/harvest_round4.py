@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+# ------------------------------------------------------------------
+"""Summarize round-4 chip-chain artifacts for BASELINE.md harvesting.
+
+The round-4 queues (scripts/round4_{cerra,queue2,queue3}.sh) write their
+results to /root/work/*.json and the driver log trees; this script reads
+whatever exists and prints one compact markdown-ready block per
+deliverable (VERDICT r3 next-items #1, #4, #5, #7, #8 and the memory
+probes). It never edits BASELINE.md -- harvesting stays a reviewed,
+manual edit (the round-3 auto-harvester's regex surgery produced two
+bugs; this one only reports).
+
+Usage: python scripts/harvest_round4.py
+"""
+# ------------------------------------------------------------------
+
+import json
+import os
+import re
+
+WORK = "/root/work"
+
+
+def _load(path):
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def _last_json_line(path):
+    """memory_fit output files mix warnings with the JSON line (2>&1)."""
+    try:
+        with open(path) as fh:
+            lines = [l.strip() for l in fh if l.strip().startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except Exception:
+        return None
+
+
+def real_run(tag, logname):
+    hist = _load(os.path.join(WORK, "log", logname, "history.json"))
+    if hist is None:
+        print(f"[{tag}] history.json not written yet ({logname})")
+        return
+    vf = hist.get("val_f1") or []
+    sps = hist.get("steps_per_sec") or []
+    best = max(vf) if vf else None
+    best_ep = (vf.index(best) + 1) if vf else None
+    steady = sorted(sps[1:] or sps)[len(sps[1:] or sps) // 2] if sps else None
+    print(f"[{tag}] epochs={len(vf)} best_val_F1={best} (epoch {best_ep}) "
+          f"median_steps_per_sec(excl. compile epoch)={steady}")
+    print(f"  val_f1 per epoch: {[round(v, 3) for v in vf]}")
+    print(f"  steps/s per epoch: {[round(s, 3) for s in sps]}")
+
+
+def acc_json(tag, name):
+    p = _load(os.path.join(WORK, name))
+    if p is None:
+        print(f"[{tag}] {name} missing")
+        return
+    print(f"[{tag}] encoder={p.get('encoder')} codebook={p.get('codebook')} "
+          f"best_val_extremes_F1={p.get('best_val_f1')} "
+          f"best_val_driver_F1={p.get('best_val_anom_f1')} "
+          f"epochs={len(p.get('history', {}).get('val_f1', []) or [])}")
+
+
+def main():
+    print("== CERRA 512x832 (VERDICT #1) ==")
+    real_run("cerra512_CNN_3D", "cerra512_CNN_3D")
+
+    print("\n== ERA5-Land EUR-11 412x424 (VERDICT #7) ==")
+    real_run("era5_eur11_CNN_3D", "era5_eur11_CNN_3D")
+
+    print("\n== codebook variants @48x48 (VERDICT #4) ==")
+    for name in ("acc_cnn48_LFQ.json", "acc_cnn48_VQ_EMA.json",
+                 "acc_cnn48_FSQ.json"):
+        acc_json(name.split("_")[2].split(".")[0], name)
+
+    print("\n== native-density 200x200 capped-BCE arm (VERDICT #8) ==")
+    acc_json("native_capped", "acc_cnn200_native_capped.json")
+
+    print("\n== ARNet diagnosis (VERDICT #5) ==")
+    diag = _load(os.path.join(WORK, "arnet_diag.json"))
+    if diag is None:
+        print("arnet_diag.json missing")
+    else:
+        print(json.dumps(diag.get("yardsticks", {})))
+        for arm, row in diag.get("arms", {}).items():
+            print(f"  {arm}: {json.dumps(row)}")
+
+    print("\n== zoo 48x48 @15 epochs (VERDICT #5 second half) ==")
+    zoo = _load(os.path.join(WORK, "zoo48_15ep.json"))
+    if zoo is None:
+        print("zoo48_15ep.json missing")
+    else:
+        for row in zoo if isinstance(zoo, list) else zoo.get("results", []):
+            print(f"  {row.get('baseline')}: "
+                  f"best_val_driver_F1={row.get('best_val_anom_f1')} "
+                  f"wall={row.get('train_wall_s', row.get('wall_s'))}")
+
+    print("\n== memory probes ==")
+    for f in ("fit_swin512_1x8.json", "fit_mamba512_1x8.json",
+              "fit_swin200_b2.json", "fit_cnn512_b1.json"):
+        row = _last_json_line(os.path.join(WORK, f))
+        print(f"  {f}: {json.dumps(row) if row else 'missing/crashed'}")
+
+
+if __name__ == "__main__":
+    main()
