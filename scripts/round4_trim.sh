@@ -1,0 +1,146 @@
+#!/bin/bash
+# Round-4 trimmed chip chain — same deliverables as round4_chain.sh
+# (VERDICT r3 next-items #1, #4, #5, #7, #8 + memory probes) but with
+# per-stage budgets sized for the wall clock actually available this
+# round, ordered by value-per-minute so the round clock cuts the tail,
+# not the head. Every stage is independently re-runnable; partial
+# results harvest via scripts/harvest_round4.py (train drivers write
+# history.json per epoch, the accuracy harness writes its JSON at exit
+# AND per-epoch checkpoints).
+#
+# Prereq: scripts/data/make_cerra_fixture.py for /root/work/cerra_fix
+# already launched (or completed) — stage 0 waits on its marker file.
+set -u
+cd /root/repo
+mkdir -p /root/work
+LOG=/root/work/chain4.log
+echo "[trim] start $(date)" >> "$LOG"
+
+FIX=/root/work/cerra_fix
+# --- 0. wait for the 512x832 fixture, then build the mmap cache ----------
+for i in $(seq 1 240); do
+  [ -f "$FIX/fixture_info.json" ] && break
+  sleep 10
+done
+if [ ! -f "$FIX/fixture_info.json" ]; then
+  echo "[trim] FIXTURE NEVER APPEARED $(date)" >> "$LOG"
+else
+  echo "[trim] fixture ready $(date)" >> "$LOG"
+fi
+if [ ! -d "$FIX/cache" ]; then
+  echo "[trim] cache convert $(date)" >> "$LOG"
+  timeout 30m python scripts/convert_reanalysis.py --family CERRA \
+    --root_main "$FIX/CERRA" --root_noaa "$FIX/NOAA" \
+    --years 1990-1993 --variables wdir10 si10 al hcc lcc msl \
+    --out "$FIX/cache" --grid 512x832 \
+    --x_min 0 --x_max 832 --y_min 0 --y_max 512 --validate \
+    > /root/work/cerra_convert.log 2>&1
+  echo "[trim] cache exit=$? $(date)" >> "$LOG"
+fi
+
+# --- 1. CERRA 512x832 CNN_3D train (VERDICT #1) ---------------------------
+echo "[trim] cerra train $(date)" >> "$LOG"
+timeout 40m python scripts/train_CERRA.py \
+  --name cerra512_CNN_3D --dir_log /root/work/log \
+  --root_CERRA "$FIX/CERRA" --root_NOAA_CERRA "$FIX/NOAA" \
+  --cache_root "$FIX/cache" \
+  --grid_override "(512,832)" --x_min 0 --x_max 832 --y_min 0 --y_max 512 \
+  --years_train "['1990','1991','1992']" --years_val "['1993']" \
+  --variables_static "[]" \
+  --encoder CNN_3D --dtype bfloat16 --batch_size 1 \
+  --en_use_checkpoint true --loader_workers 0 \
+  --n_epochs 8 \
+  --init_scheme lecun --codebook_freeze_out true \
+  --lambda_commitment 0 --lambda_anomaly 0 \
+  --is_clima_scale false \
+  > /root/work/cerra512_train.log 2>&1
+echo "[trim] cerra exit=$? $(date)" >> "$LOG"
+
+# --- 2. codebook variants @48x48 (VERDICT #4) + LFQ anchor ---------------
+for CB in VQ_EMA FSQ LFQ; do
+  echo "[trim] codebook $CB $(date)" >> "$LOG"
+  timeout 25m python scripts/train_benchmark_accuracy.py \
+    --encoder CNN_3D --codebook "$CB" --hw 48 --epochs 15 --batch 8 \
+    --cube_npz /root/work/cube48.npz --dir_log /root/work/log \
+    --out "/root/work/acc_cnn48_${CB}.json" \
+    > "/root/work/acc_cnn48_${CB}.log" 2>&1
+  echo "[trim] codebook $CB exit=$? $(date)" >> "$LOG"
+done
+
+# --- 3. ERA5-Land EUR-11 412x424 smoke (VERDICT #7) ----------------------
+EFIX=/root/work/era5_fix
+if [ ! -f "$EFIX/fixture_info.json" ]; then
+  echo "[trim] era5 fixture gen $(date)" >> "$LOG"
+  timeout 30m python scripts/data/make_cerra_fixture.py --root "$EFIX" \
+    --era5 EUR-11 --height 412 --width 424 --years 1989,1990,1991,1992 \
+    --variables d2m,t2m,fal,sp,e,tp >> "$LOG" 2>&1
+fi
+if [ ! -d "$EFIX/cache" ]; then
+  timeout 20m python scripts/convert_reanalysis.py --family ERA5_Land \
+    --region EUR-11 --root_main "$EFIX/ERA5" --root_noaa "$EFIX/NOAA" \
+    --years 1990-1992 --variables d2m t2m fal sp e tp \
+    --out "$EFIX/cache" \
+    --x_min 0 --x_max 424 --y_min 0 --y_max 412 --validate \
+    > /root/work/era5_convert.log 2>&1
+  echo "[trim] era5 cache exit=$? $(date)" >> "$LOG"
+fi
+echo "[trim] era5 train $(date)" >> "$LOG"
+timeout 25m python scripts/train_ERA5_Land.py \
+  --name era5_eur11_CNN_3D --dir_log /root/work/log \
+  --root_ERA5_Land "$EFIX/ERA5" --root_NOAA "$EFIX/NOAA" \
+  --region EUR-11 --cache_root "$EFIX/cache" \
+  --x_min 0 --x_max 424 --y_min 0 --y_max 412 \
+  --years_train "['1990','1991']" --years_val "['1992']" \
+  --variables "['d2m','t2m','fal','sp','e','tp']" \
+  --in_channels_dynamic 6 --variables_static "[]" \
+  --encoder CNN_3D --dtype bfloat16 --batch_size 1 \
+  --en_use_checkpoint true --loader_workers 0 \
+  --n_epochs 4 \
+  --init_scheme lecun --codebook_freeze_out true \
+  --lambda_commitment 0 --lambda_anomaly 0 \
+  --is_clima_scale false \
+  > /root/work/era5_train.log 2>&1
+echo "[trim] era5 exit=$? $(date)" >> "$LOG"
+
+# --- 4. ARNet diagnosis arms (VERDICT #5) --------------------------------
+echo "[trim] arnet diag $(date)" >> "$LOG"
+timeout 30m python scripts/diagnose_arnet.py --hw 48 --years 40 --epochs 3 \
+  --out /root/work/arnet_diag.json > /root/work/arnet_diag.log 2>&1
+echo "[trim] arnet exit=$? $(date)" >> "$LOG"
+
+# --- 5. memory probes (AOT compiles, minutes) ----------------------------
+echo "[trim] memory probes $(date)" >> "$LOG"
+timeout 20m python scripts/memory_fit.py --family real --encoder Swin_3D \
+  --batch 1 --hw 512x832 --remat --topology v5e:4x2 --mesh 1x8 \
+  > /root/work/fit_swin512_1x8.json 2>&1
+timeout 20m python scripts/memory_fit.py --family real --encoder Mamba \
+  --batch 1 --hw 512x832 --remat --topology v5e:4x2 --mesh 1x8 \
+  > /root/work/fit_mamba512_1x8.json 2>&1
+timeout 20m python scripts/memory_fit.py --family synthetic \
+  --encoder Swin_3D --batch 2 --hw 200 --remat \
+  > /root/work/fit_swin200_b2.json 2>&1
+timeout 20m python scripts/memory_fit.py --family real --encoder CNN_3D \
+  --batch 1 --hw 512x832 --remat \
+  > /root/work/fit_cnn512_b1.json 2>&1
+echo "[trim] probes done $(date)" >> "$LOG"
+
+# --- 6. native-density 200x200 capped-BCE arm (VERDICT #8) ---------------
+echo "[trim] native density $(date)" >> "$LOG"
+timeout 60m python scripts/train_benchmark_accuracy.py \
+  --encoder CNN_3D --hw 200 --epochs 10 --batch 4 \
+  --density_ref_hw 0 --bce_weighting capped \
+  --cube_npz /root/work/cube200_native.npz --dir_log /root/work/log \
+  --out /root/work/acc_cnn200_native_capped.json \
+  > /root/work/acc_cnn200_native_capped.log 2>&1
+echo "[trim] native density exit=$? $(date)" >> "$LOG"
+
+# --- 7. 48x48 zoo at 15 epochs (VERDICT #5 second half) ------------------
+echo "[trim] zoo15 $(date)" >> "$LOG"
+timeout 3h python scripts/train_baselines_zoo.py \
+  --which deepmil,arnet,rtfm,mgfn,simplenet,steal,uniad \
+  --hw 48 --years 40 --epochs 15 \
+  --pretrained /root/work/log/acc_CNN_3D_48/model_checkpoints/best_F1_model \
+  --out /root/work/zoo48_15ep.json \
+  > /root/work/zoo48_15ep.log 2>&1
+echo "[trim] zoo15 exit=$? $(date)" >> "$LOG"
+echo "[trim] all done $(date)" >> "$LOG"
