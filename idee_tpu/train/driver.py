@@ -282,6 +282,14 @@ def train_synthetic(cfg: Config,
         history["steps_per_sec"].append(sps)
         log_string(logger, "steps/sec: %.3f" % sps)
 
+        # Per-epoch flush so a wall-clock kill loses at most the epoch in
+        # flight (the queue scripts run under `timeout`); `state` is added
+        # only on clean completion.
+        import json as _json
+        import os as _os
+        with open(_os.path.join(cfg.log_dir, "history.json"), "w") as fh:
+            _json.dump(history, fh, indent=1)
+
         # -- TensorBoard: scalars + last-batch image panels (reference:
         # train_synthetic.py:283-299,310-319) --
         writer.add_scalars("Loss", {"train": mean_loss_train,

@@ -10,6 +10,7 @@ best-F1 tracked on the drought class F1 (train_CERRA.py:303-305).
 """
 # ------------------------------------------------------------------
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -273,6 +274,14 @@ def train_real(cfg: Config, family: str, mesh=None,
         history["val_f1"].append(f1_val)
         history["steps_per_sec"].append(sps)
         log_string(logger, "steps/sec: %.3f" % sps)
+
+        # Flush the scalar history every epoch so a wall-clock kill (the
+        # queue scripts run under `timeout`) loses at most the epoch in
+        # flight, not the whole run's record.  The `state` entry is added
+        # only on clean completion; harvesters read the scalars.
+        import json as _json
+        with open(os.path.join(cfg.log_dir, "history.json"), "w") as fh:
+            _json.dump(history, fh, indent=1)
 
         eval_train.reset()
         eval_val.reset()

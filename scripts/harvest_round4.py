@@ -55,8 +55,17 @@ def real_run(tag, logname):
     print(f"  steps/s per epoch: {[round(s, 3) for s in sps]}")
 
 
-def acc_json(tag, name):
+def acc_json(tag, name, logname=None):
     p = _load(os.path.join(WORK, name))
+    if p is None and logname:
+        # run killed by the queue timeout before writing its summary JSON:
+        # fall back to the per-epoch history.json flush (driver.py)
+        hist = _load(os.path.join(WORK, "log", logname, "history.json"))
+        if hist:
+            p = {"encoder": logname, "codebook": "(from history.json)",
+                 "history": hist,
+                 "best_val_f1": max(hist.get("val_f1") or [0.0]),
+                 "best_val_anom_f1": max(hist.get("val_anom_f1") or [0.0])}
     if p is None:
         print(f"[{tag}] {name} missing")
         return
@@ -74,12 +83,14 @@ def main():
     real_run("era5_eur11_CNN_3D", "era5_eur11_CNN_3D")
 
     print("\n== codebook variants @48x48 (VERDICT #4) ==")
-    for name in ("acc_cnn48_LFQ.json", "acc_cnn48_VQ_EMA.json",
-                 "acc_cnn48_FSQ.json"):
-        acc_json(name.split("_")[2].split(".")[0], name)
+    for name, logname in (("acc_cnn48_LFQ.json", "acc_CNN_3D_48"),
+                          ("acc_cnn48_VQ_EMA.json", "acc_CNN_3D_48_VQ_EMA"),
+                          ("acc_cnn48_FSQ.json", "acc_CNN_3D_48_FSQ")):
+        acc_json(name.split("_")[2].split(".")[0], name, logname)
 
     print("\n== native-density 200x200 capped-BCE arm (VERDICT #8) ==")
-    acc_json("native_capped", "acc_cnn200_native_capped.json")
+    acc_json("native_capped", "acc_cnn200_native_capped.json",
+             "acc_CNN_3D_200_capped")
 
     print("\n== ARNet diagnosis (VERDICT #5) ==")
     diag = _load(os.path.join(WORK, "arnet_diag.json"))
