@@ -184,9 +184,11 @@ def train_synthetic(cfg: Config,
 
     best_loss_train, best_loss_val = np.inf, np.inf
     best_f1_val = 0.0
-    history = {"train_loss": [], "val_loss": [], "train_f1": [], "val_f1": [],
-               "train_anom_f1": [], "val_anom_f1": [],
-               "steps_per_sec": []}
+    from idee_tpu.train.history import flush_history, seed_history
+    history = seed_history(cfg.log_dir,
+                           ["train_loss", "val_loss", "train_f1", "val_f1",
+                            "train_anom_f1", "val_anom_f1",
+                            "steps_per_sec"], start_epoch)
 
     for epoch in range(start_epoch, cfg.n_epochs):
         log_string(logger, "################# Epoch (%s/%s) #################"
@@ -282,13 +284,10 @@ def train_synthetic(cfg: Config,
         history["steps_per_sec"].append(sps)
         log_string(logger, "steps/sec: %.3f" % sps)
 
-        # Per-epoch flush so a wall-clock kill loses at most the epoch in
-        # flight (the queue scripts run under `timeout`); `state` is added
-        # only on clean completion.
-        import json as _json
-        import os as _os
-        with open(_os.path.join(cfg.log_dir, "history.json"), "w") as fh:
-            _json.dump(history, fh, indent=1)
+        # Per-epoch atomic flush so a wall-clock kill loses at most the
+        # epoch in flight (the queue scripts run under `timeout`); resume
+        # seeding + torn-write protection in train/history.py.
+        flush_history(cfg.log_dir, history)
 
         # -- TensorBoard: scalars + last-batch image panels (reference:
         # train_synthetic.py:283-299,310-319) --

@@ -46,8 +46,11 @@ def real_run(tag, logname):
         return
     vf = hist.get("val_f1") or []
     sps = hist.get("steps_per_sec") or []
-    best = max(vf) if vf else None
-    best_ep = (vf.index(best) + 1) if vf else None
+    # NaN-safe best: the synthetic driver's _nanmean serializes NaN for
+    # all-NaN epochs and max() over a NaN-bearing list is order-dependent
+    finite = [v for v in vf if v == v]
+    best = max(finite) if finite else None
+    best_ep = (vf.index(best) + 1) if finite else None
     steady = sorted(sps[1:] or sps)[len(sps[1:] or sps) // 2] if sps else None
     print(f"[{tag}] epochs={len(vf)} best_val_F1={best} (epoch {best_ep}) "
           f"median_steps_per_sec(excl. compile epoch)={steady}")
@@ -62,10 +65,12 @@ def acc_json(tag, name, logname=None):
         # fall back to the per-epoch history.json flush (driver.py)
         hist = _load(os.path.join(WORK, "log", logname, "history.json"))
         if hist:
+            vf = [v for v in hist.get("val_f1") or [] if v == v]
+            va = [v for v in hist.get("val_anom_f1") or [] if v == v]
             p = {"encoder": logname, "codebook": "(from history.json)",
                  "history": hist,
-                 "best_val_f1": max(hist.get("val_f1") or [0.0]),
-                 "best_val_anom_f1": max(hist.get("val_anom_f1") or [0.0])}
+                 "best_val_f1": max(vf) if vf else 0.0,
+                 "best_val_anom_f1": max(va) if va else 0.0}
     if p is None:
         print(f"[{tag}] {name} missing")
         return
@@ -83,10 +88,12 @@ def main():
     real_run("era5_eur11_CNN_3D", "era5_eur11_CNN_3D")
 
     print("\n== codebook variants @48x48 (VERDICT #4) ==")
-    for name, logname in (("acc_cnn48_LFQ.json", "acc_CNN_3D_48"),
-                          ("acc_cnn48_VQ_EMA.json", "acc_CNN_3D_48_VQ_EMA"),
-                          ("acc_cnn48_FSQ.json", "acc_CNN_3D_48_FSQ")):
-        acc_json(name.split("_")[2].split(".")[0], name, logname)
+    # explicit tags: deriving from name.split('_') labeled VQ_EMA as 'VQ'
+    for tag, name, logname in (
+            ("LFQ", "acc_cnn48_LFQ.json", "acc_CNN_3D_48"),
+            ("VQ_EMA", "acc_cnn48_VQ_EMA.json", "acc_CNN_3D_48_VQ_EMA"),
+            ("FSQ", "acc_cnn48_FSQ.json", "acc_CNN_3D_48_FSQ")):
+        acc_json(tag, name, logname)
 
     print("\n== native-density 200x200 capped-BCE arm (VERDICT #8) ==")
     acc_json("native_capped", "acc_cnn200_native_capped.json",
