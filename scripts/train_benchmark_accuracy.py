@@ -58,6 +58,11 @@ def main():
                     "200x200x40y takes ~20 min of single-core time; the "
                     "cube is deterministic in --seed, so later runs load "
                     "this instead)")
+    ap.add_argument("--d_state", type=int, default=None,
+                    help="Mamba SSM state dimension per stage (VERDICT r4 "
+                    "#7: sweep {1,4,16} at 48x48 to locate the accuracy "
+                    "gap; default None keeps the reference config "
+                    "Mamba.py:440-444 default carried by config.py)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for smoke runs "
                     "while a training run owns the TPU; the env-var route "
@@ -85,6 +90,8 @@ def main():
     suffix = "" if args.codebook == "LFQ" else f"_{args.codebook}"
     if args.bce_weighting != "reference":
         suffix += f"_{args.bce_weighting}"
+    if args.d_state is not None:
+        suffix += f"_ds{args.d_state}"
     name = args.name or f"acc_{args.encoder}_{args.hw}{suffix}"
     out = args.out or f"/tmp/{name}.json"
 
@@ -97,6 +104,8 @@ def main():
                      vq_threshold_ema_dead_code=2.0)
     elif args.codebook != "LFQ":
         cb_kw = dict(codebook=args.codebook)
+    if args.d_state is not None:
+        cb_kw["d_state"] = [args.d_state, args.d_state]
 
     from idee_tpu.config import synthetic_config
     from idee_tpu.data.fake import make_benchmark_cube
@@ -142,13 +151,17 @@ def main():
     payload = {
         "encoder": args.encoder, "hw": args.hw, "batch": args.batch,
         "codebook": args.codebook, "bce_weighting": args.bce_weighting,
-        "density_ref_hw": args.density_ref_hw,
+        "density_ref_hw": args.density_ref_hw, "d_state": args.d_state,
         "epochs": args.epochs, "recipe": "stable (lecun, freeze_out, "
         "no commitment, no anomaly-L1)",
         "history": history,
-        "best_val_f1": max(history["val_f1"]) if history["val_f1"] else None,
-        "best_val_anom_f1": (max(history["val_anom_f1"])
-                             if history["val_anom_f1"] else None),
+        # NaN-safe best: all-NaN epochs (zero predicted positives)
+        # serialize as NaN and max() over them is order-dependent
+        "best_val_f1": (max(v for v in history["val_f1"] if v == v)
+                        if any(v == v for v in history["val_f1"]) else None),
+        "best_val_anom_f1": (
+            max(v for v in history["val_anom_f1"] if v == v)
+            if any(v == v for v in history["val_anom_f1"]) else None),
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
