@@ -82,6 +82,12 @@ def train_synthetic(cfg: Config,
                     mesh=None) -> Dict:
     """Train on the synthetic benchmark; returns a history dict."""
     logger = get_logger(cfg)
+    # snapshot config.txt/pkl/json even when the caller bypassed the CLI's
+    # read_arguments (e.g. the accuracy harness) — diagnosis scripts
+    # rebuild models from these (reference: config.py:206-248 saves on
+    # parse; saving in the driver covers every entry path)
+    from idee_tpu.config import save_options
+    save_options(cfg)
     fix_seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)  # SURVEY.md 5: sanitizer

@@ -65,6 +65,10 @@ def make_reanalysis_dataset(cfg: Config, family: str, years, is_aug: bool,
 def train_real(cfg: Config, family: str, mesh=None,
                train_ds=None, val_ds=None) -> Dict:
     logger = get_logger(cfg)
+    # snapshot config even when the caller bypassed the CLI's
+    # read_arguments — see train/driver.py
+    from idee_tpu.config import save_options
+    save_options(cfg)
     fix_seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)  # SURVEY.md 5: sanitizer

@@ -58,6 +58,14 @@ def main():
                     "200x200x40y takes ~20 min of single-core time; the "
                     "cube is deterministic in --seed, so later runs load "
                     "this instead)")
+    ap.add_argument("--lambda_commitment", type=float, default=0.0,
+                    help="commitment-loss weight. The stable LFQ recipe "
+                    "zeroes it (freeze_out makes it redundant there), but "
+                    "for VQ variants the commitment term is THE mechanism "
+                    "anchoring encoder scale to the codebook — the "
+                    "round-5 diagnosis (scripts/diagnose_codebooks.py) "
+                    "measured unanchored VQ-EMA encoder outputs exploding "
+                    "to std~88 into the bf16 classifier")
     ap.add_argument("--d_state", type=int, default=None,
                     help="Mamba SSM state dimension per stage (VERDICT r4 "
                     "#7: sweep {1,4,16} at 48x48 to locate the accuracy "
@@ -92,6 +100,8 @@ def main():
         suffix += f"_{args.bce_weighting}"
     if args.d_state is not None:
         suffix += f"_ds{args.d_state}"
+    if args.lambda_commitment:
+        suffix += f"_commit{args.lambda_commitment:g}"
     name = args.name or f"acc_{args.encoder}_{args.hw}{suffix}"
     out = args.out or f"/tmp/{name}.json"
 
@@ -124,7 +134,7 @@ def main():
         dtype="bfloat16", device_data=True,
         # stable recipe (BASELINE.md "Training dynamics")
         init_scheme="lecun", codebook_freeze_out=True,
-        lambda_commitment=0.0, lambda_anomaly=0.0,
+        lambda_commitment=args.lambda_commitment, lambda_anomaly=0.0,
         bce_weighting=args.bce_weighting,
         seed=args.seed,
         **cb_kw,
@@ -152,6 +162,7 @@ def main():
         "encoder": args.encoder, "hw": args.hw, "batch": args.batch,
         "codebook": args.codebook, "bce_weighting": args.bce_weighting,
         "density_ref_hw": args.density_ref_hw, "d_state": args.d_state,
+        "lambda_commitment": args.lambda_commitment,
         "epochs": args.epochs, "recipe": "stable (lecun, freeze_out, "
         "no commitment, no anomaly-L1)",
         "history": history,
