@@ -33,7 +33,16 @@ _SCAN_PALLAS_DEFAULT = True
 def use_pallas() -> bool:
     if _FORCE_XLA:
         return False
-    return _FORCE_PALLAS or jax.default_backend() == "tpu"
+    if _FORCE_PALLAS:
+        return True
+    if gspmd_active():
+        # Mosaic kernels cannot be automatically partitioned by GSPMD
+        # (XLA raises NotImplementedError at lowering — measured by the
+        # round-5 Mamba 1x8 AOT probe); under any active device mesh the
+        # XLA compositions are the shardable implementations. A future
+        # shard_map wrapping could re-enable the kernels per-shard.
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def scan_pallas_enabled() -> bool:
@@ -116,6 +125,60 @@ def attn_lanes_enabled() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return not _FORCE_XLA and jax.default_backend() == "tpu"
+
+
+_SPATIAL_MESH = None  # (mesh, data_axis, space_axis) under spatial GSPMD
+_GSPMD_MESH = None    # any active device mesh (data-parallel included)
+
+
+def set_gspmd_mesh(mesh) -> None:
+    """Announce that the program compiles over a device mesh (drivers call
+    this whenever cfg.mesh_shape resolves to a mesh). Gates Pallas
+    dispatch off — see use_pallas."""
+    global _GSPMD_MESH
+    _GSPMD_MESH = mesh
+
+
+def gspmd_active() -> bool:
+    return _GSPMD_MESH is not None or _SPATIAL_MESH is not None
+
+
+def set_spatial_mesh(mesh, data_axis: str = "data",
+                     space_axis: str = "space") -> None:
+    """Announce an active data x space mesh to the kernel layer.
+
+    GSPMD cannot propagate the height sharding through Swin's
+    window-partition reshape (H merges into the window-batch axis), so
+    without help every attention temp REPLICATES per device — measured:
+    the CERRA 512x832 Swin program is 18.05 GiB/device on a 1x8 space
+    mesh, identical to 1x4's 18.02 (round-5 probe, BASELINE.md). With a
+    mesh registered here, window_attention constrains its window-batch
+    axis to (data, space), which re-establishes the sharding on the far
+    side of the reshape. Call with None to clear.
+    """
+    global _SPATIAL_MESH
+    _SPATIAL_MESH = ((mesh, data_axis, space_axis)
+                     if mesh is not None else None)
+
+
+def window_batch_constraint(*tensors):
+    """Constrain axis 0 (the window-batch axis BW = B * nW, batch-major)
+    of each tensor onto the registered (data, space) mesh axes; identity
+    when no spatial mesh is active. Windows enumerate (T, H, W) row-major
+    inside each sample, so a contiguous BW shard is a contiguous block of
+    H windows — aligned with the H-sharded inputs up to the boundary
+    halos GSPMD already exchanges."""
+    if _SPATIAL_MESH is None:
+        return tensors if len(tensors) > 1 else tensors[0]
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, da, sa = _SPATIAL_MESH
+    out = []
+    for t in tensors:
+        spec = PartitionSpec((da, sa), *([None] * (t.ndim - 1)))
+        out.append(jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, spec)))
+    return tuple(out) if len(out) > 1 else out[0]
 
 
 def set_force_pallas(value: bool) -> None:

@@ -40,6 +40,7 @@ correctness reference in tests.
 # ------------------------------------------------------------------
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -409,8 +410,16 @@ def _xla_lanes(q, k, v, bias, mask, scale):
     # reshape/slice chain into this copy, so the padded [BW, n, G, hd]
     # form never lands in HBM
     qt, kt, vt = (jnp.transpose(t, (2, 1, 3, 0)) for t in (q, k, v))
-    f32 = jnp.float32
-    s = jnp.sum((qt[:, :, None].astype(f32) * scale)
+    # score accumulation dtype: f32 default (softmax numerics); bf16
+    # opt-in (IDEE_ATTN_SCORES_DTYPE=bf16) halves the HBM traffic of the
+    # [G, n, n, BW] score tensor in fwd AND its bwd reloads — an A/B
+    # candidate for the backward's bandwidth bound (profile_r5: bwd is
+    # 111 of 156 ms). n <= 32 tokens keeps the logit range small, so the
+    # bf16 risk is rounding, not overflow.
+    f32 = (jnp.bfloat16
+           if os.environ.get("IDEE_ATTN_SCORES_DTYPE") == "bf16"
+           else jnp.float32)
+    s = jnp.sum((qt[:, :, None].astype(f32) * jnp.asarray(scale, f32))
                 * kt[:, None].astype(f32), axis=3)        # [G, n, n, BW]
     s = s + bias.astype(f32)[..., None]
     if mask_parts is not None:
@@ -419,7 +428,8 @@ def _xla_lanes(q, k, v, bias, mask, scale):
         # BW is (batch-major, window-minor): window_partition emits
         # [B * nW] with the window index minor; the bank gather fuses
         # into the add (the dense [n, n, nW] mask never materializes)
-        bank_t = jnp.asarray(np.transpose(bank, (1, 2, 0)))  # [n, n, K]
+        bank_t = jnp.asarray(np.transpose(bank, (1, 2, 0)),
+                             dtype=f32)  # [n, n, K]
         s = (s.reshape(G, n, n, BW // nW, nW)
              + bank_t[:, :, jnp.asarray(idx)][:, :, None])
         s = s.reshape(G, n, n, BW)
@@ -478,18 +488,28 @@ def window_attention(q, k, v, bias, mask, scale):
     """
     from idee_tpu.kernels.runtime import (attn_lanes_enabled,
                                           attn_pallas_enabled,
-                                          attn_xfold_enabled, use_pallas)
+                                          attn_xfold_enabled, use_pallas,
+                                          window_batch_constraint)
+
+    # under spatial GSPMD, re-establish the (data, space) sharding on the
+    # window-batch axis — propagation dies at the window-partition
+    # reshape and the attention temps otherwise replicate per device
+    # (see runtime.set_spatial_mesh)
+    q, k, v = window_batch_constraint(q, k, v)
 
     parts = _mask_parts(mask)
     foldable = _can_fuse(q, parts)
     if (attn_lanes_enabled() and parts is not NotImplemented
             and (parts is None
                  or q.shape[0] % parts[1].shape[0] == 0)):
-        return _xla_lanes(q, k, v, bias, parts, scale)
+        return window_batch_constraint(
+            _xla_lanes(q, k, v, bias, parts, scale))
     if foldable and attn_xfold_enabled():
-        return _xla_folded(q, k, v, bias, mask, scale)
+        return window_batch_constraint(
+            _xla_folded(q, k, v, bias, mask, scale))
     if not use_pallas() or not attn_pallas_enabled() or not foldable:
-        return _xla_impl(q, k, v, bias, mask, scale)
+        return window_batch_constraint(
+            _xla_impl(q, k, v, bias, mask, scale))
 
     BW, n, G, hd = q.shape
     P = _ROWS // n
@@ -527,4 +547,4 @@ def window_attention(q, k, v, bias, mask, scale):
                 dbias.astype(bias.dtype))
 
     attend.defvjp(fwd, bwd)
-    return attend(q, k, v, bias)
+    return window_batch_constraint(attend(q, k, v, bias))

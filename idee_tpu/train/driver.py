@@ -99,9 +99,18 @@ def train_synthetic(cfg: Config,
 
     if mesh is None and cfg.mesh_shape:
         mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
+    if mesh is not None:
+        # Pallas kernels are not auto-partitionable; route dispatch to the
+        # shardable XLA compositions for mesh programs (kernels/runtime.py)
+        from idee_tpu.kernels.runtime import set_gspmd_mesh
+        set_gspmd_mesh(mesh)
     if mesh is not None and "space" in cfg.mesh_axes:
         # batch + height sharding: XLA's spatial partitioner handles the
-        # conv/window halo exchange over ICI (SURVEY.md 2.9, optional ext)
+        # conv/window halo exchange over ICI (SURVEY.md 2.9, optional ext);
+        # window_attention additionally re-establishes the sharding across
+        # the window-partition reshape (runtime.set_spatial_mesh)
+        from idee_tpu.kernels.runtime import set_spatial_mesh
+        set_spatial_mesh(mesh)
         sharding = spatial_sharding(mesh)["batch"]
     elif mesh is not None:
         sharding = batch_sharding(mesh)

@@ -84,7 +84,24 @@ def train_real(cfg: Config, family: str, mesh=None,
 
     if mesh is None and cfg.mesh_shape:
         mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    if mesh is not None:
+        # Pallas kernels are not auto-partitionable; route dispatch to the
+        # shardable XLA compositions for mesh programs (kernels/runtime.py)
+        from idee_tpu.kernels.runtime import set_gspmd_mesh
+        set_gspmd_mesh(mesh)
+    if mesh is not None and "space" in tuple(cfg.mesh_axes):
+        # height-sharded real-world training (the only way the reference's
+        # CERRA 512x832 Swin lineup fits 16 GB parts — BASELINE.md memory
+        # fit); window_attention needs the mesh to re-establish the
+        # sharding across the window-partition reshape
+        from idee_tpu.kernels.runtime import set_spatial_mesh
+        from idee_tpu.parallel.mesh import spatial_sharding
+        set_spatial_mesh(mesh)
+        sharding = spatial_sharding(mesh)["batch"]
+    elif mesh is not None:
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = None
 
     # upload only what the jitted steps consume; x in the compute dtype
     # (host->device bandwidth is a first-order per-step cost)

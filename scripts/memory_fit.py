@@ -112,7 +112,17 @@ def probe(family: str, encoder: str, batch: int, H: int, W: int,
         from jax.sharding import Mesh
         mesh = Mesh(np.asarray(topo.devices).reshape(tuple(dims)), axes)
         rep = NamedSharding(mesh, P())
+        # mesh programs must compile the shardable XLA kernel fallbacks
+        # (Mosaic kernels crash GSPMD partitioning — Mamba 1x8 probe)
+        from idee_tpu.kernels.runtime import set_gspmd_mesh
+        set_gspmd_mesh(mesh)
         if "space" in axes:
+            # let window_attention re-establish the sharding across the
+            # window-partition reshape (runtime.set_spatial_mesh — the
+            # unconstrained 1x8 Swin program replicated every attention
+            # temp: 18.05 GiB/device, flat vs 1x4)
+            from idee_tpu.kernels.runtime import set_spatial_mesh
+            set_spatial_mesh(mesh)
             spec = spatial_sharding(mesh)["spec_fn"]
         else:
             spec = lambda rank: NamedSharding(mesh, P("data"))
