@@ -120,3 +120,57 @@ def test_spatial_sharding_matches_unsharded(fake_cube, tiny_config):
     _, m0 = step(state, m0, jax.device_put(host))
     loss_ref = float(jax.device_get(m0["loss_sums"]["loss"]))
     np.testing.assert_allclose(loss_spatial, loss_ref, rtol=1e-3)
+
+
+def test_window_batch_constraint_matches_unsharded(fake_cube, tiny_config):
+    """Swin under the spatial mesh WITH runtime.set_spatial_mesh: the
+    window-batch with_sharding_constraint (the round-5 fix that makes
+    512x832 Swin per-device memory scale — BASELINE.md memory fit) must
+    not change the math. CPU mesh: the dispatch takes the unfolded XLA
+    path, but the constraint is applied at the window_attention dispatch
+    level, so this pins exactly the production program structure."""
+    import jax
+    import numpy as np
+
+    from idee_tpu.data.loader import DataLoader
+    from idee_tpu.data.synthetic import SyntheticDataset
+    from idee_tpu.kernels.runtime import set_spatial_mesh
+    from idee_tpu.parallel.mesh import (make_mesh, replicate_sharding,
+                                        shard_batch_spatial)
+    from idee_tpu.train.steps import init_epoch_metrics, make_train_step
+
+    cfg = tiny_config.replace(encoder="Swin_3D", is_aug=False,
+                              en_drop_rate=0.0, cls_drop_rate=0.0,
+                              en_attn_drop_rate=0.0)
+    mesh = make_mesh([2, 4], ("data", "space"))
+    ds = SyntheticDataset(cube=fake_cube, times=cfg.times_train,
+                          variables=list(cfg.variables),
+                          delta_t=cfg.delta_t, is_aug=False)
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=True, prefetch=0)
+    host = {k: np.asarray(v) for k, v in next(iter(loader)).items()}
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, np.zeros_like(host["x"]),
+                               steps_per_epoch=4)
+
+    # unsharded reference (no constraint registered)
+    step0 = make_train_step(model, cfg, t0=float(ds.timestep[0]),
+                            donate=False)
+    m0 = init_epoch_metrics(ds.anomaly.shape)
+    _, m0 = step0(state, m0, jax.device_put(host))
+    loss_ref = float(jax.device_get(m0["loss_sums"]["loss"]))
+
+    set_spatial_mesh(mesh)
+    try:
+        # fresh jit so the constraint is traced into the program
+        step1 = make_train_step(model, cfg, t0=float(ds.timestep[0]),
+                                donate=False)
+        sharded = shard_batch_spatial(host, mesh)
+        s1 = jax.device_put(state, replicate_sharding(mesh))
+        m1 = jax.device_put(init_epoch_metrics(ds.anomaly.shape),
+                            replicate_sharding(mesh))
+        _, m1 = step1(s1, m1, sharded)
+        loss_spatial = float(jax.device_get(m1["loss_sums"]["loss"]))
+    finally:
+        set_spatial_mesh(None)
+    np.testing.assert_allclose(loss_spatial, loss_ref, rtol=2e-3)
