@@ -255,14 +255,21 @@ class PackedMambaBlock(nn.Module):
         if shifted:
             y = jnp.roll(y, shift=(-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
 
-        windows = window_partition(y, ws)
+        # under spatial GSPMD, re-establish the (data, space) sharding on
+        # the window-batch axis — propagation dies at the window-partition
+        # reshape and the SSM temps otherwise replicate per device
+        # (runtime.set_spatial_mesh; same fix as kernels/window_attention)
+        from idee_tpu.kernels.runtime import window_batch_constraint
+
+        windows = window_batch_constraint(window_partition(y, ws))
         windows = PackedMambaSSM(n_groups=V, d_model=self.dim,
                                  d_state=self.d_state, d_conv=self.d_conv,
                                  expand=self.expand, dt_min=self.dt_min,
                                  dt_max=self.dt_max,
                                  kernel_init=self.kernel_init,
                                  dtype=self.dtype, name="ssm")(windows)
-        y = window_reverse(windows, ws, B, Dp, Hp, Wp)
+        y = window_reverse(window_batch_constraint(windows), ws, B, Dp, Hp,
+                           Wp)
 
         if shifted:
             y = jnp.roll(y, shift=(ss[0], ss[1], ss[2]), axis=(1, 2, 3))
