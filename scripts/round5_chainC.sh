@@ -59,4 +59,14 @@ timeout 20m env BENCH_ENCODER=Swin_3D IDEE_ATTN_SCORES_DTYPE=bf16 \
 echo "[5c] bench pallas-attn $(date)" >> "$LOG"
 timeout 20m env BENCH_ENCODER=Swin_3D IDEE_ATTN_PALLAS=1 IDEE_ATTN_LANES=0 \
   python bench.py > /root/work/bench_swin_pallas.json 2>&1
+
+# batch-2 + remat: the round-5 probe measured the remat batch-2 program
+# at 4.81 GB (vs 18.1 without remat) — samples/s candidate
+echo "[5c] bench batch2-remat $(date)" >> "$LOG"
+timeout 20m env BENCH_ENCODER=Swin_3D BENCH_BATCH=2 BENCH_REMAT=1 \
+  python bench.py > /root/work/bench_swin_b2remat.json 2>&1
+
+# final three-encoder headline on the default path (also verify step 3)
+echo "[5c] bench headline $(date)" >> "$LOG"
+timeout 30m python bench.py > /root/work/bench_headline_r5.json 2>&1
 echo "[5c] done $(date)" >> "$LOG"
