@@ -22,12 +22,16 @@ for i in $(seq 1 240); do
   [ -f "$FIX/fixture_info.json" ] && break
   sleep 10
 done
+SKIP_CERRA=0
 if [ ! -f "$FIX/fixture_info.json" ]; then
-  echo "[trim] FIXTURE NEVER APPEARED $(date)" >> "$LOG"
+  # advisor r4: don't burn ~70 min running the convert + train stages
+  # against a missing fixture — jump to the fixture-independent stages
+  echo "[trim] FIXTURE NEVER APPEARED — skipping stages 0-1 $(date)" >> "$LOG"
+  SKIP_CERRA=1
 else
   echo "[trim] fixture ready $(date)" >> "$LOG"
 fi
-if [ ! -d "$FIX/cache" ]; then
+if [ "$SKIP_CERRA" = 0 ] && [ ! -d "$FIX/cache" ]; then
   echo "[trim] cache convert $(date)" >> "$LOG"
   timeout 30m python scripts/convert_reanalysis.py --family CERRA \
     --root_main "$FIX/CERRA" --root_noaa "$FIX/NOAA" \
@@ -39,6 +43,9 @@ if [ ! -d "$FIX/cache" ]; then
 fi
 
 # --- 1. CERRA 512x832 CNN_3D train (VERDICT #1) ---------------------------
+if [ "$SKIP_CERRA" = 1 ]; then
+  echo "[trim] cerra train SKIPPED (no fixture) $(date)" >> "$LOG"
+else
 echo "[trim] cerra train $(date)" >> "$LOG"
 timeout 40m python scripts/train_CERRA.py \
   --name cerra512_CNN_3D --dir_log /root/work/log \
@@ -55,6 +62,7 @@ timeout 40m python scripts/train_CERRA.py \
   --is_clima_scale false \
   > /root/work/cerra512_train.log 2>&1
 echo "[trim] cerra exit=$? $(date)" >> "$LOG"
+fi
 
 # --- 2. codebook variants @48x48 (VERDICT #4) + LFQ anchor ---------------
 for CB in VQ_EMA FSQ LFQ; do
