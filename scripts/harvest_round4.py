@@ -95,6 +95,26 @@ def main():
             ("FSQ", "acc_cnn48_FSQ.json", "acc_CNN_3D_48_FSQ")):
         acc_json(tag, name, logname)
 
+    print("\n== Mamba d_state sweep @48x48 (round 5, VERDICT r4 #7) ==")
+    for ds in (1, 4, 16):
+        acc_json(f"ds{ds}", f"acc_mamba48_ds{ds}.json",
+                 f"acc_Mamba_48_ds{ds}")
+
+    print("\n== VQ-EMA anchored (commitment 0.25) arm (round 5) ==")
+    acc_json("VQ_EMA_commit", "acc_cnn48_VQ_EMA_commit.json",
+             "acc_CNN_3D_48_VQ_EMA_commit0.25")
+
+    print("\n== CERRA device-compute step bound (round 5) ==")
+    sb = _load(os.path.join(WORK, "cerra_step_bench.json"))
+    print(json.dumps(sb) if sb else "cerra_step_bench.json missing")
+
+    print("\n== Swin attention A/B benches (round 5) ==")
+    for f in ("bench_swin_control", "bench_swin_bf16scores",
+              "bench_swin_pallas", "bench_swin_b2remat",
+              "bench_headline_r5"):
+        row = _last_json_line(os.path.join(WORK, f + ".json"))
+        print(f"  {f}: {json.dumps(row) if row else 'missing'}")
+
     print("\n== native-density 200x200 capped-BCE arm (VERDICT #8) ==")
     acc_json("native_capped", "acc_cnn200_native_capped.json",
              "acc_CNN_3D_200_capped")
