@@ -34,21 +34,6 @@ timeout 75m python scripts/train_ERA5_Land.py \
   > /root/work/era5_train.log 2>&1
 echo "[5c] era5 exit=$? $(date)" >> "$LOG"
 
-echo "[5c] cerra step bench $(date)" >> "$LOG"
-timeout 25m python scripts/bench_real_step.py --encoder CNN_3D \
-  --hw 512x832 --out /root/work/cerra_step_bench.json \
-  > /root/work/cerra_step_bench.log 2>&1
-echo "[5c] cerra step exit=$? $(date)" >> "$LOG"
-
-echo "[5c] vq_ema commit arm $(date)" >> "$LOG"
-timeout 40m python scripts/train_benchmark_accuracy.py \
-  --encoder CNN_3D --codebook VQ_EMA --lambda_commitment 0.25 \
-  --hw 48 --epochs 15 --batch 8 \
-  --cube_npz /root/work/cube48.npz --dir_log /root/work/log \
-  --out /root/work/acc_cnn48_VQ_EMA_commit.json \
-  > /root/work/acc_cnn48_VQ_EMA_commit.log 2>&1
-echo "[5c] vq_ema commit exit=$? $(date)" >> "$LOG"
-
 # --- attention A/B (each ~4-6 min; BENCH_* envs pin the workload) ------
 echo "[5c] bench lanes-f32 (control) $(date)" >> "$LOG"
 timeout 20m env BENCH_ENCODER=Swin_3D python bench.py \
@@ -69,4 +54,29 @@ timeout 20m env BENCH_ENCODER=Swin_3D BENCH_BATCH=2 BENCH_REMAT=1 \
 # final three-encoder headline on the default path (also verify step 3)
 echo "[5c] bench headline $(date)" >> "$LOG"
 timeout 30m python bench.py > /root/work/bench_headline_r5.json 2>&1
+
+# --- clock-permitting tail: anchored VQ-EMA, device step bound, zoo15 ---
+echo "[5c] vq_ema commit arm $(date)" >> "$LOG"
+timeout 40m python scripts/train_benchmark_accuracy.py \
+  --encoder CNN_3D --codebook VQ_EMA --lambda_commitment 0.25 \
+  --hw 48 --epochs 15 --batch 8 \
+  --cube_npz /root/work/cube48.npz --dir_log /root/work/log \
+  --out /root/work/acc_cnn48_VQ_EMA_commit.json \
+  > /root/work/acc_cnn48_VQ_EMA_commit.log 2>&1
+echo "[5c] vq_ema commit exit=$? $(date)" >> "$LOG"
+
+echo "[5c] cerra step bench $(date)" >> "$LOG"
+timeout 25m python scripts/bench_real_step.py --encoder CNN_3D \
+  --hw 512x832 --out /root/work/cerra_step_bench.json \
+  > /root/work/cerra_step_bench.log 2>&1
+echo "[5c] cerra step exit=$? $(date)" >> "$LOG"
+
+echo "[5c] zoo15 $(date)" >> "$LOG"
+timeout 100m python scripts/train_baselines_zoo.py \
+  --which deepmil,arnet,rtfm,mgfn,simplenet,steal,uniad \
+  --hw 48 --years 40 --epochs 15 \
+  --pretrained /root/work/log/acc_CNN_3D_48/model_checkpoints/best_F1_model \
+  --out /root/work/zoo48_15ep.json \
+  > /root/work/zoo48_15ep.log 2>&1
+echo "[5c] zoo15 exit=$? $(date)" >> "$LOG"
 echo "[5c] done $(date)" >> "$LOG"
