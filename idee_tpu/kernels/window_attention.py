@@ -410,15 +410,17 @@ def _xla_lanes(q, k, v, bias, mask, scale):
     # reshape/slice chain into this copy, so the padded [BW, n, G, hd]
     # form never lands in HBM
     qt, kt, vt = (jnp.transpose(t, (2, 1, 3, 0)) for t in (q, k, v))
-    # score accumulation dtype: f32 default (softmax numerics); bf16
-    # opt-in (IDEE_ATTN_SCORES_DTYPE=bf16) halves the HBM traffic of the
-    # [G, n, n, BW] score tensor in fwd AND its bwd reloads — an A/B
-    # candidate for the backward's bandwidth bound (profile_r5: bwd is
-    # 111 of 156 ms). n <= 32 tokens keeps the logit range small, so the
-    # bf16 risk is rounding, not overflow.
-    f32 = (jnp.bfloat16
-           if os.environ.get("IDEE_ATTN_SCORES_DTYPE") == "bf16"
-           else jnp.float32)
+    # score accumulation dtype: bf16 DEFAULT since round 5 — halves the
+    # HBM traffic of the [G, n, n, BW] score tensor in fwd and its bwd
+    # reloads: measured +6.4% full-step (6.827 vs 6.414 steps/s, real
+    # v5e), training-quality-validated by twin Swin 48x48 accuracy arms
+    # (best val extremes F1 0.613 bf16 vs 0.626 f32, within the val
+    # noise band; driver F1 0.365 vs 0.333 — BASELINE.md round-5 A/B).
+    # n <= 32 tokens keeps logit magnitudes small (no overflow risk);
+    # IDEE_ATTN_SCORES_DTYPE=f32 opts back out.
+    f32 = (jnp.float32
+           if os.environ.get("IDEE_ATTN_SCORES_DTYPE") == "f32"
+           else jnp.bfloat16)
     s = jnp.sum((qt[:, :, None].astype(f32) * jnp.asarray(scale, f32))
                 * kt[:, None].astype(f32), axis=3)        # [G, n, n, BW]
     s = s + bias.astype(f32)[..., None]

@@ -11,6 +11,7 @@ selective-scan (reference models/encoder/Mamba.py:23,159).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from idee_tpu.kernels.selective_scan import (_scan_pallas_2d, _scan_xla,
                                              linear_scan)
@@ -387,6 +388,28 @@ class TestXlaLanesAttention:
 
     _inputs = TestWindowAttention._inputs
     _shift_mask = TestWindowAttention._shift_mask
+
+    @pytest.fixture(autouse=True)
+    def _f32_scores(self, monkeypatch):
+        # pin the f32 opt-out: the equality tests check the layout's
+        # MATH against the unfolded composition at tight tolerance; the
+        # round-5 bf16 score default (a deliberate precision trade,
+        # measured +6.4% — BASELINE.md) is covered by its own
+        # loose-tolerance test below
+        monkeypatch.setenv("IDEE_ATTN_SCORES_DTYPE", "f32")
+
+    def test_bf16_scores_default_close(self, monkeypatch):
+        from idee_tpu.kernels.window_attention import _xla_impl, _xla_lanes
+
+        monkeypatch.delenv("IDEE_ATTN_SCORES_DTYPE", raising=False)
+        nW = 4
+        q, k, v, bias = self._inputs(BW=3 * nW, n=8, G=12)
+        mask = self._shift_mask(nW, 8)
+        ref = _xla_impl(q, k, v, bias, mask, 0.35)
+        out = _xla_lanes(q, k, v, bias, mask, 0.35)
+        # bf16 has ~8 mantissa bits: probabilities agree to ~1e-2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-2, rtol=5e-2)
 
     def test_forward_matches_stage1(self):
         from idee_tpu.kernels.window_attention import _xla_impl, _xla_lanes
